@@ -1,0 +1,118 @@
+package graft.tokenize
+
+import graft.functions.Hashing
+import graft.model.{Doc, Span, SpanKind}
+
+/** Deterministic synthesis of the north-rule interleaved text+media input
+  * table (FIXTURES.md §1): every document is a pure function of
+  * (doc_id, seed text), no RNG state, no wall clock — so the same doc_id
+  * always produces the same raw spans at any scale factor and any
+  * parallelism. Used to derive the extraction input from the driver-provided
+  * `documents` table and to generate standalone bench corpora.
+  */
+object DocGen {
+
+  /** Deterministic pseudo-random stream from a key. */
+  private def h(key: String, salt: Int): Long = Hashing.seededHash(Hashing.fnv1a64(key), salt)
+
+  private def chunk(words: IndexedSeq[String], size: Int): Seq[Seq[String]] =
+    if (words.isEmpty) Seq.empty else words.grouped(size).toSeq
+
+  /** Build an HTML raw span: nav/footer boilerplate around real paragraphs
+    * with a heading — exercises the text-density + link-density classifier.
+    */
+  def htmlPayload(docId: String, words: IndexedSeq[String]): String = {
+    val title = words.take(3).mkString(" ")
+    val paras = chunk(words.drop(3), 12)
+      .map(ws => s"<p>${ws.mkString(" ")}</p>").mkString
+    s"""<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>""" +
+      s"<h1>$title</h1>" + paras +
+      s"""<div><a href="/more">Read more</a></div>""" +
+      s"""<footer><a href="/privacy">Privacy</a> (c) example</footer>"""
+  }
+
+  /** Build a pdf_text raw span: heading + blank-line-separated paragraphs. */
+  def pdfPayload(words: IndexedSeq[String]): String = {
+    val heading = words.take(4).mkString(" ").toUpperCase
+    val paras = chunk(words.drop(4), 15).map(_.mkString(" ") + ".")
+    (heading +: paras).mkString("\n\n")
+  }
+
+  /** Build a table_raw grid: header, separator, data rows with deterministic
+    * quantities/amounts, and a total row.
+    */
+  def tablePayload(docId: String, words: IndexedSeq[String]): String = {
+    val items = words.take(4).padTo(2, "item")
+    val rows = items.zipWithIndex.map { case (w, i) =>
+      val qty = (math.abs(h(docId, 100 + i)) % 9 + 1).toInt
+      val amt = (math.abs(h(docId, 200 + i)) % 90000 + 100).toInt
+      (w, qty, amt)
+    }
+    val totalQty = rows.map(_._2).sum
+    val totalAmt = rows.map(_._3).sum
+    val dataLines = rows.map { case (w, q, a) => f"$w|$q|$$${a / 100}%d.${a % 100}%02d" }
+    (Seq("H:item|qty|amount", "S:---|---|---") ++ dataLines :+
+      f"T:total|$totalQty|$$${totalAmt / 100}%d.${totalAmt % 100}%02d").mkString("\n")
+  }
+
+  def mediaRef(docId: String, i: Int): String = {
+    val shard = math.abs(h(docId, 300 + i)) % 1000
+    s"s3://graft-corpus/media/$shard/${docId}_$i.png"
+  }
+
+  def ediPayload(docId: String): String = {
+    val ctl = math.abs(h(docId, 400)) % 1000000000L
+    s"ISA*00*$ctl~GS*HP*SENDER*RECEIVER~CLP*$docId*1*150.00*120.00~SE*4*0001~"
+  }
+
+  /** Mega-document factor: ~1/997 of docs get a 100x span tail to exercise
+    * skew handling (FIXTURES.md §1 skew case).
+    */
+  def megaFactor(docId: String): Int =
+    if (math.abs(h(docId, 999)) % 997 == 0) 100 else 1
+
+  /** Synthesize the raw interleaved document for (doc_id, seed text). */
+  def synthesize(docId: String, seedText: String): Doc = {
+    val words = (if (seedText == null) "" else seedText)
+      .split("\\s+").filter(_.nonEmpty).toIndexedSeq
+    val w = if (words.isEmpty) IndexedSeq("empty", "document", "body") else words
+    val spans = Seq.newBuilder[Span]
+    var off = 0
+    def add(kind: String, text: String, media: String): Unit = {
+      spans += Span(kind, text, media, off)
+      off += 1
+    }
+    val mix = math.abs(h(docId, 1)) % 6
+    add(SpanKind.Html, htmlPayload(docId, w), "")
+    if (mix <= 3) add(SpanKind.PdfText, pdfPayload(w.drop(5)), "")
+    if (mix % 2 == 0) add(SpanKind.TableRaw, tablePayload(docId, w), "")
+    if (mix % 3 == 0) add(SpanKind.Media, "", mediaRef(docId, 0))
+    if (mix == 5) add(SpanKind.Edi, ediPayload(docId), "")
+    val factor = megaFactor(docId)
+    if (factor > 1) {
+      var i = 0
+      while (i < factor) {
+        add(SpanKind.PdfText, pdfPayload(w), "")
+        if (i % 10 == 0) add(SpanKind.Media, "", mediaRef(docId, i + 1))
+        i += 1
+      }
+    }
+    Doc(docId, spans.result())
+  }
+
+  private val loremWords: IndexedSeq[String] =
+    ("the data pipeline reads every document and writes ordered spans with " +
+      "provenance for each page table cell and figure while the optimizer " +
+      "prunes columns and pushes filters into the scan so that large batch " +
+      "jobs finish quickly even when a few documents are pathologically big")
+      .split(" ").toIndexedSeq
+
+  /** Standalone corpus doc (bench/fixtures): deterministic text from id. */
+  def syntheticDoc(i: Long): Doc = {
+    val id = f"doc_$i%09d"
+    val n = (math.abs(h(id, 7)) % 120 + 20).toInt
+    val start = (math.abs(h(id, 8)) % loremWords.length).toInt
+    val text = (0 until n).map(k => loremWords((start + k) % loremWords.length)).mkString(" ")
+    synthesize(id, text)
+  }
+}

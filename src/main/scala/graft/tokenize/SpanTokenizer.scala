@@ -1,0 +1,131 @@
+package graft.tokenize
+
+import graft.functions.{Modality, Strings}
+import graft.model._
+
+/** The extraction kernel: one raw document -> ordered extracted spans.
+  *
+  * Raw kinds handled (SURVEY.md §2.1 multi-format factory,
+  * reference src/preprocessing/file_factory.py / base_processor.py:22-50):
+  *   html      -> boilerplate-stripped heading/text spans
+  *   pdf_text  -> reading-order text blocks (PageImage.text_content analog,
+  *                reference src/preprocessing/pdf_processor.py:519-531)
+  *   table_raw -> row-major table_cell spans (table_types.py:135-168 order)
+  *   media     -> figure span carrying media_ref only (blob never inlined)
+  *   edi       -> per-segment text spans (edi_processor.py segment split)
+  *   other     -> error span (total function; errors become data, not throws)
+  *
+  * Offsets are assigned INSIDE the kernel as the output ordinal — never from
+  * row order after a shuffle (SURVEY.md §7.4 span-order determinism).
+  *
+  * Pure and deterministic; instances are reused per partition via
+  * `mapPartitions` (north-rule mandate: reusable parser per partition).
+  */
+object SpanTokenizer {
+
+  final case class Config(
+      boilerplate: Boilerplate.Config = Boilerplate.Config(),
+      maxSpansPerDoc: Int = 1 << 20,
+      pathTag: String = "tokenize:v1")
+
+  val default: Config = Config()
+  /** Alternate "pass-2" settings for the dual-pass reconcile demo. */
+  val pass2: Config = Config(
+    boilerplate = Boilerplate.Config(linkDensityThreshold = 0.5, minWords = 2),
+    pathTag = "tokenize:v2")
+
+  private val headingMax = 60
+
+  /** pdf_text blocks: split on blank lines, reading order preserved; short
+    * unpunctuated blocks become headings.
+    */
+  private def pdfBlocks(text: String): Seq[(String, String)] = {
+    if (text == null || text.trim.isEmpty) return Seq.empty
+    text.split("\\n\\s*\\n").toIndexedSeq
+      .map(b => Strings.normalizeWhitespace(Strings.cleanOcrText(b)))
+      .filter(_.nonEmpty)
+      .map { b =>
+        val words = b.split(" ").length
+        val heading = b.length <= headingMax && words <= 6 &&
+          !b.endsWith(".") && !b.endsWith("!") && !b.endsWith("?")
+        (if (heading) SpanKind.Heading else SpanKind.Text, b)
+      }
+  }
+
+  /** EDI segments: split on `~`, fields on `*`, re-joined normalized. */
+  private def ediSegments(text: String): Seq[String] =
+    if (text == null || text.trim.isEmpty) Seq.empty
+    else text.split("~").toIndexedSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map(seg => seg.split("\\*", -1).map(Strings.normalizeWhitespace).mkString("*"))
+
+  /** Expand one raw span into extracted (kind, text, media_ref) triples. */
+  def expandRaw(raw: Span, cfg: Config): Seq[(String, String, String)] = raw.kind match {
+    case SpanKind.Html =>
+      Boilerplate.mainContent(raw.text, cfg.boilerplate).map { case (k, t) => (k, t, "") }
+    case SpanKind.PdfText =>
+      pdfBlocks(raw.text).map { case (k, t) => (k, t, "") }
+    case SpanKind.TableRaw =>
+      TableGrid.cellTexts(TableGrid.parse(raw.text))
+        .filter(_.nonEmpty)
+        .map(t => (SpanKind.TableCell, t, ""))
+    case SpanKind.Media =>
+      Seq((SpanKind.Figure, "", raw.media_ref))
+    case SpanKind.Edi =>
+      ediSegments(raw.text).map(t => (SpanKind.Text, t, ""))
+    case other =>
+      Seq((SpanKind.Error, s"unsupported_kind:$other", ""))
+  }
+
+  /** STUB — media decode. Real image/audio decode libraries are not in this
+    * container; production slots a JVM decoder here (SURVEY.md §2.4 quality
+    * metrics, image_enhancer.py:855-928). The fake derives deterministic
+    * per-media quality metrics from the media_ref hash so modality logic and
+    * Spark plumbing stay real and testable.
+    */
+  def fakeDecodeQuality(mediaRef: String): QualityMetrics = {
+    val h = graft.functions.Hashing.fnv1a64(if (mediaRef == null) "" else mediaRef)
+    val blur = math.abs(h % 1000L).toDouble          // 0..999  variance-of-Laplacian analog
+    val brightness = math.abs((h >>> 10) % 256L).toDouble
+    val contrast = math.abs((h >>> 20) % 128L).toDouble
+    QualityMetrics(blur, brightness, contrast)
+  }
+
+  /** Tokenize one document. Total: never throws; per-span failures become
+    * error spans (error-channel mandate, SURVEY.md §2.1 PDF validation row).
+    */
+  def extract(doc: Doc, cfg: Config = default): ExtractedDoc = {
+    val ordered = doc.spans.sortBy(_.offset)
+    val out = Seq.newBuilder[Span]
+    var n = 0
+    var errors = 0
+    ordered.foreach { raw =>
+      val expanded =
+        try expandRaw(raw, cfg)
+        catch {
+          case e: Exception => Seq((SpanKind.Error, s"tokenize_failed:${e.getClass.getSimpleName}", ""))
+        }
+      expanded.foreach { case (k, t, m) =>
+        if (n < cfg.maxSpansPerDoc) {
+          if (k == SpanKind.Error) errors += 1
+          out += Span(k, t, m, n)
+          n += 1
+        }
+      }
+    }
+    val spans = out.result()
+    val mediaRefs = ordered.filter(_.kind == SpanKind.Media).map(_.media_ref)
+    val quality = mediaRefs.map(fakeDecodeQuality)
+    val totalWords = spans.iterator.filter(s => s.kind == SpanKind.Text || s.kind == SpanKind.Heading)
+      .map(s => s.text.count(_ == ' ') + 1).sum
+    val analysis = Modality.Analysis(
+      hasTables = ordered.exists(_.kind == SpanKind.TableRaw),
+      textDensity = if (totalWords < 50) "low" else "moderate")
+    val modalities = Modality.deriveModalities(Some(analysis), quality)
+    ExtractedDoc(doc.doc_id, spans, spans.length, errors, modalities, Seq(cfg.pathTag))
+  }
+
+  /** Per-partition iterator form for `mapPartitions` (no per-row setup). */
+  def extractPartition(docs: Iterator[Doc], cfg: Config = default): Iterator[ExtractedDoc] =
+    docs.map(extract(_, cfg))
+}
