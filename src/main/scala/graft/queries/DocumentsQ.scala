@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Hashing, TextAnalysis}
+import T._
+
+/** Training-data pipeline operators over the `documents` table:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Scale notes: the sketch computations are map-only (one pass, codegen'd
+  * where built-ins suffice, UDFs where a sketch is needed); candidate
+  * generation shuffles only (doc_id, band_key) pairs — never the text — so
+  * at 100 TB the shuffle volume is O(docs * bands * 16 bytes), and the
+  * bucket self-join only materializes within-bucket pairs.
+  */
+object DocumentsQ {
+
+  private val minhashUdf = udf { (text: String) =>
+    Hashing.minhashSignature(TextAnalysis.shingles(text, 3).toSet, 64)
+  }
+  private val bandsUdf = udf { (sig: Seq[Long]) => Hashing.lshBandKeys(sig.toArray, 4) }
+  private val minhashSimUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    Hashing.minhashSimilarity(a.toArray, b.toArray)
+  }
+  private val simhashUdf = udf { (text: String) =>
+    Hashing.simhash64(TextAnalysis.shingles(text, 1))
+  }
+  private val jaccardUdf = udf { (a: String, b: String) => TextAnalysis.ngramJaccard(a, b, 3) }
+  private val langIdUdf = udf { (text: String) => TextAnalysis.langId(text) }
+  private val qualityUdf = udf { (text: String) => TextAnalysis.qualityScore(text) }
+  private val bpeishUdf = udf { (text: String) => TextAnalysis.tokenCountBpeish(text) }
+  private val fingerprintUdf = udf { (text: String) => TextAnalysis.fingerprint(text) }
+
+  /** Exact dedup: hash-groupBy on content hash; only the hash shuffles. */
+  def d01ExactDups(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 1)
+      .orderBy("content_hash")
+
+  /** Whitespace + BPE-ish token counts per document (map-only). */
+  def d02TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens_ws"),
+        length(col("text")).cast("long").as("len_chars"))
+      .orderBy("doc_id")
+
+  /** Per-language corpus profile. */
+  def d03LangProfile(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
+      .orderBy("lang")
+
+  /** Quality signals, all computed with codegen'd built-ins for oracle
+    * parity (integer counts -> exact; one double ratio from exact ints).
+    */
+  def d04QualitySignals(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha_chars"),
+        length(regexp_replace(col("text"), "[^!?.,;:]", "")).cast("long").as("punct_chars"))
+      .withColumn("alpha_ratio", col("alpha_chars").cast("double") / col("len"))
+      .withColumn("is_quality", (col("alpha_ratio") > 0.6) && (col("len") >= 50L))
+      .orderBy("doc_id")
+
+  /** Document fingerprint (normalized-content hash) duplicate groups. */
+  def d05FingerprintGroups(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("fp")
+
+  /** Base ∪ deterministic near-duplicate variants (last 5 words dropped) —
+    * gives the near-dup detectors a guaranteed positive set; variant ids are
+    * offset by 10^7.
+    */
+  private[queries] def withVariants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = docs.select(
+      (col("doc_id") + lit(10000000L)).as("doc_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), lit(1),
+        greatest(size(split(trim(col("text")), "\\s+")) - 5, lit(1)))).as("text"))
+    docs.unionByName(variants)
+  }
+
+  /** MinHash + LSH near-dup candidates: shingle -> 64-slot signature ->
+    * 16 bands of 4 -> band-bucket equi-join -> signature-estimated Jaccard.
+    */
+  def d06MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = withVariants(spark, dir)
+      .withColumn("sig", minhashUdf(col("text")))
+      .select(col("doc_id"), col("sig"))
+    // shuffle only (doc_id, band) pairs — signatures rejoin after dedup
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandsUdf(col("sig"))).as(Seq("band_idx", "band_key")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        minhashSimUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dups: 64-bit sketch, 4x16-bit chunk candidate join,
+    * exact Hamming re-check <= 12.
+    */
+  def d07Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = withVariants(spark, dir)
+      .withColumn("sim", simhashUdf(col("text")))
+      .select(col("doc_id"), col("sim"))
+    val chunks = sigs.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
+      col("chunk_idx"), col("chunk_val"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
+      col("chunk_idx"), col("chunk_val"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard over known candidate pairs (doc, variant). */
+  def d08NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = withVariants(spark, dir).filter(col("doc_id") >= 10000000L)
+      .select((col("doc_id") - 10000000L).as("doc_id"), col("text").as("text_b"))
+    docs.join(variants, "doc_id")
+      .select(col("doc_id"), jaccardUdf(col("text"), col("text_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic + agreement with the labeled lang column. */
+  def d09LangId(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), langIdUdf(col("text")).as("lang_pred"),
+        qualityUdf(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** BPE-ish token counts + rolling-hash fingerprint (UDF kernel path). */
+  def d10Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), bpeishUdf(col("text")).as("n_tokens_bpeish"),
+        fingerprintUdf(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Top-k most frequent token per language — explode + two-level agg. */
+  def d11TopTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) >= 3)
+    val counts = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(desc("n"), col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("lang", "rank")
+  }
+}

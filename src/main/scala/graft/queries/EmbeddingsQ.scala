@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Hashing
+import T._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the corpus once — O(corpus) with no corpus shuffle; the LSH path
+  * buckets the corpus by random-hyperplane signature so each query probes
+  * one bucket (candidate set ~ corpus/2^bits), the standard recall/throughput
+  * trade at 10^9+ vectors (IVF/LSH family).
+  */
+object EmbeddingsQ {
+
+  /** Elementwise dot product with explicit double promotion — kept inside
+    * whole-stage codegen (zip_with + aggregate higher-order functions).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** L2 norms (map-only; sanity surface for the ANN paths). */
+  def e01Norms(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), norm(col("embedding")).as("l2_norm"))
+      .orderBy("vec_id")
+
+  /** Brute-force cosine top-5 for the first 20 query vectors: corpus scanned
+    * once against a broadcast query set, ranked per query.
+    */
+  def e02AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (norm(col("q_emb")) * norm(col("embedding")))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes: component j of plane p is a signed
+    * unit derived from mix64 — fixed across executors with no RNG state.
+    */
+  private def planeSign(p: Int, j: Int): Double =
+    if (Hashing.mix64(p.toLong * 131071L + j.toLong) >= 0L) 1.0 else -1.0
+
+  private val lshBits = 8
+
+  private val lshSigUdf = udf { (emb: Seq[Float]) =>
+    var sig = 0
+    var p = 0
+    while (p < lshBits) {
+      var s = 0.0
+      var j = 0
+      while (j < emb.length) { s += planeSign(p, j) * emb(j); j += 1 }
+      if (s >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed ANN: corpus bucketed by 8-bit hyperplane signature; each
+    * query probes its own bucket plus all 1-bit-flip neighbor buckets
+    * (multi-probe), then exact cosine re-ranks candidates.
+    */
+  def e03AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings").withColumn("bucket", lshSigUdf(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val probes = queries.select(col("query_id"), col("q_emb"), col("q_bucket"),
+      explode(array((lit(-1) +: (0 until lshBits).map(lit(_))): _*)).as("flip"))
+      .withColumn("probe_bucket",
+        when(col("flip") === -1, col("q_bucket"))
+          .otherwise(col("q_bucket").bitwiseXOR(expr("shiftleft(1, flip)"))))
+      .select(col("query_id"), col("q_emb"), col("probe_bucket"))
+    val cands = emb.join(broadcast(probes),
+      col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
+    val scored = cands.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      (dot(col("q_emb"), col("embedding")) /
+        (norm(col("q_emb")) * norm(col("embedding")))).as("cos_sim")).distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** kNN majority-label classification for the first 100 vectors. */
+  def e04KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        (dot(col("q_emb"), col("embedding")) /
+          (norm(col("q_emb")) * norm(col("embedding")))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vote_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("votes"), col("label"))))
+      .filter(col("vote_rank") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
+  /** Per-label centroid norms — elementwise mean via posexplode + re-agg,
+    * the distributed shape for centroid computation (k-means step analog).
+    */
+  def e05Centroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val comps = emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    comps.groupBy(col("label"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(sqrt(sum(col("mean_v") * col("mean_v"))).as("centroid_norm"),
+        count(lit(1)).as("n_dims"))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Patterns, Strings}
+import graft.model.{Doc, ExtractedDoc, SpanKind}
+import graft.tokenize.{DocGen, SpanTokenizer, TableGrid}
+import T._
+
+/** The north-rule extraction pipeline as queries: interleaved text+media
+  * docs -> ordered (kind, text, media_ref, offset) spans, plus the
+  * enrichment/validation/reconciliation surfaces (SURVEY.md §2.4-2.5).
+  *
+  * The raw interleaved table is synthesized deterministically from the
+  * driver's `documents` table (FIXTURES.md §1: no external data; every doc a
+  * pure function of (doc_id, text)), so these queries scale with the sf dir.
+  */
+object ExtractionQ {
+
+  /** Raw interleaved docs derived 1:1 from the documents table. */
+  def rawDocs(spark: SparkSession, dir: String): Dataset[Doc] = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        DocGen.synthesize(f"doc_$id%09d", text)
+      })
+  }
+
+  /** Tokenized docs — the extraction kernel over typed partitions with a
+    * per-partition reusable tokenizer (no per-row setup).
+    */
+  def extracted(spark: SparkSession, dir: String,
+      cfg: SpanTokenizer.Config = SpanTokenizer.default): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    rawDocs(spark, dir).mapPartitions(SpanTokenizer.extractPartition(_, cfg))
+  }
+
+  /** Long-format ordered spans — the scored output shape. */
+  def x01Spans(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, dir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.offset").as("offset"), col("s.kind").as("kind"),
+        col("s.text").as("text"), col("s.media_ref").as("media_ref"))
+      .orderBy("doc_id", "offset")
+
+  /** Per-kind span statistics. */
+  def x02SpanStats(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, dir)
+      .select(explode(col("spans")).as("s"))
+      .groupBy(col("s.kind").as("kind"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(length(col("s.text"))).as("sum_chars"))
+      .orderBy("kind")
+
+  /** Modality derivation + error channel per document. */
+  def x03Modality(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, dir)
+      .select(col("doc_id"), concat_ws(",", col("modalities")).as("modalities"),
+        col("n_spans"), col("n_errors"),
+        concat_ws(",", col("extraction_path")).as("extraction_path"))
+      .orderBy("doc_id")
+
+  /** Table row reconstruction (table_to_rows_dict semantics) as long rows. */
+  def x04TableRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rawDocs(spark, dir)
+      .flatMap { d =>
+        d.spans.filter(_.kind == SpanKind.TableRaw).flatMap { t =>
+          TableGrid.rowsAsMaps(TableGrid.parse(t.text)).zipWithIndex.map {
+            case (m, i) =>
+              (d.doc_id, t.offset, i,
+                m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("|"))
+          }
+        }
+      }
+      .toDF("doc_id", "span_offset", "row_idx", "row_kv")
+      .orderBy("doc_id", "span_offset", "row_idx")
+  }
+
+  /** Media (figure) spans with stubbed decode quality metrics + the
+    * modality-dispatched enhancement plan (image_enhancer.py:195-298 mode
+    * selection as a when/otherwise column).
+    */
+  def x05MediaQuality(spark: SparkSession, dir: String): DataFrame = {
+    val qualityUdf = udf { (ref: String) =>
+      val q = SpanTokenizer.fakeDecodeQuality(ref)
+      (q.blurScore, q.brightness, q.contrast, q.qualityScore, q.lowContrast)
+    }
+    extracted(spark, dir)
+      .select(col("doc_id"), col("modalities"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === SpanKind.Figure)
+      .select(col("doc_id"), col("modalities"), col("s.media_ref").as("media_ref"),
+        qualityUdf(col("s.media_ref")).as("q"))
+      .select(col("doc_id"), col("media_ref"),
+        col("q._1").as("blur_score"), col("q._2").as("brightness"),
+        col("q._3").as("contrast"), col("q._4").as("quality_score"),
+        col("q._5").as("low_contrast"),
+        when(array_contains(col("modalities"), "fax"), "deskew+otsu+open+despeckle")
+          .when(array_contains(col("modalities"), "handwritten"), "deskew+denoise_light")
+          .when(array_contains(col("modalities"), "visual"), "deskew")
+          .otherwise("deskew+denoise+clahe").as("enhancement_plan"))
+      .orderBy("doc_id", "media_ref")
+  }
+
+  /** Dual-pass reconciliation: tokenizer v1 vs v2, per-doc full-outer merge
+    * on span text sets (reconciler pass1 join pass2 shape, SURVEY.md §2.3).
+    */
+  def x06Reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val p1 = extracted(spark, dir, SpanTokenizer.default)
+      .select(col("doc_id"), col("spans").as("spans1"))
+    val p2 = extracted(spark, dir, SpanTokenizer.pass2)
+      .select(col("doc_id"), col("spans").as("spans2"))
+    p1.join(p2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(size(col("spans1")), lit(0)).as("n_spans_1"),
+        coalesce(size(col("spans2")), lit(0)).as("n_spans_2"),
+        transform(coalesce(col("spans1"), array()), s => s.getField("text")).as("t1"),
+        transform(coalesce(col("spans2"), array()), s => s.getField("text")).as("t2"))
+      .select(col("doc_id"), col("n_spans_1"), col("n_spans_2"),
+        size(array_intersect(col("t1"), col("t2"))).as("n_agree"),
+        (size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          greatest(size(array_union(col("t1"), col("t2"))), lit(1)).cast("double"))
+          .as("agreement_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Evaluation-metrics join: micro/macro F1 of pass2 against pass1-as-golden
+    * over span text sets (metrics.py:147-272 two-level aggregation shape).
+    */
+  def x07GoldenF1(spark: SparkSession, dir: String): DataFrame = {
+    val per = x06Reconcile(spark, dir)
+      .withColumn("tp", col("n_agree"))
+      .withColumn("fp", greatest(col("n_spans_2") - col("n_agree"), lit(0)))
+      .withColumn("fn", greatest(col("n_spans_1") - col("n_agree"), lit(0)))
+      .withColumn("doc_f1",
+        when(col("tp") * 2 + col("fp") + col("fn") === 0, 1.0)
+          .otherwise(col("tp").cast("double") * 2 /
+            (col("tp") * 2 + col("fp") + col("fn"))))
+    per.agg(
+      sum(col("tp")).as("tp"), sum(col("fp")).as("fp"), sum(col("fn")).as("fn"),
+      avg(col("doc_f1")).as("macro_f1"),
+      count(lit(1)).as("n_docs"))
+      .withColumn("micro_f1", col("tp").cast("double") * 2 /
+        (col("tp") * 2 + col("fp") + col("fn")))
+  }
+
+  /** Hallucination-pattern suspicion per document over extracted text spans
+    * (pattern_detector.py severity-weighted scoring, threshold 0.70).
+    */
+  def x08Suspicion(spark: SparkSession, dir: String): DataFrame = {
+    val scoreUdf = udf { (texts: Seq[String]) => Patterns.suspicionScore(texts) }
+    extracted(spark, dir)
+      .select(col("doc_id"),
+        filter(transform(col("spans"), s => s.getField("text")),
+          t => length(t) > 0).as("texts"))
+      .select(col("doc_id"), scoreUdf(col("texts")).as("suspicion"))
+      .withColumn("is_likely_hallucination",
+        col("suspicion") >= Patterns.hallucinationThreshold)
+      .orderBy("doc_id")
+  }
+
+  /** Cross-field sum rule over reconstructed tables: data-row amounts must
+    * sum to the total row within 0.01 (cross_field.py nested-sum rule).
+    */
+  def x09TableSumRule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rawDocs(spark, dir)
+      .flatMap { d =>
+        d.spans.filter(_.kind == SpanKind.TableRaw).map { t =>
+          val grid = TableGrid.parse(t.text)
+          val amounts = grid.rows.filterNot(r =>
+            r.isHeaderRow || r.isSeparatorRow || r.isTotalRow)
+            .flatMap(_.cells.lastOption)
+            .flatMap(c => Strings.cleanCurrency(c.text))
+          val total = grid.rows.find(_.isTotalRow)
+            .flatMap(_.cells.lastOption)
+            .flatMap(c => Strings.cleanCurrency(c.text))
+          val partsSum = amounts.sum
+          (d.doc_id, t.offset, partsSum.toDouble,
+            total.map(_.toDouble).getOrElse(Double.NaN),
+            total.exists(tt => (tt - partsSum).abs <= BigDecimal("0.01")))
+        }
+      }
+      .toDF("doc_id", "span_offset", "parts_sum", "total_cell", "sum_ok")
+      .orderBy("doc_id", "span_offset")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import T._
+
+/** Structured Streaming surface (SURVEY.md §2.10): the events table replayed
+  * as a file stream through a windowed aggregation. Locally the stream is
+  * driven to completion synchronously (memory sink + processAllAvailable);
+  * in production the same plan runs continuously with
+  * `Trigger.AvailableNow` + a real sink and a watermark bounding state.
+  */
+object StreamingQ {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Hourly tumbling-window counts computed by a streaming query; returns the
+    * final (complete-mode) result as a batch DataFrame. Batch twin: q17.
+    */
+  def s01StreamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val schema = load(spark, dir, "events").schema
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Stateful stream: per-user running event count + last event type via
+    * groupByKey over the replayed stream — demonstrated with
+    * mapGroupsWithState in StreamingSpec; batch surface here mirrors the
+    * same state transition deterministically for the driver harness.
+    */
+  def s02UserState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("event_seq", row_number().over(w).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(max(col("event_seq")).as("n_events"),
+        max_by(col("event_type"), col("event_seq")).as("last_event_type"))
+      .orderBy("user_id")
+  }
+}
