@@ -73,9 +73,21 @@ object EmbeddingsQ {
     sig
   }
 
+  /** All XOR masks within Hamming distance 2 of zero over lshBits bits —
+    * standard multi-probe LSH probe sequence (probe the query's bucket and
+    * every bucket whose signature differs in at most 2 bits).
+    */
+  private val probeMasks: Seq[Int] = {
+    val singles = (0 until lshBits).map(1 << _)
+    val doubles = for {
+      i <- 0 until lshBits; j <- (i + 1) until lshBits
+    } yield (1 << i) | (1 << j)
+    0 +: (singles ++ doubles)
+  }
+
   /** LSH-bucketed ANN: corpus bucketed by 8-bit hyperplane signature; each
-    * query probes its own bucket plus all 1-bit-flip neighbor buckets
-    * (multi-probe), then exact cosine re-ranks candidates.
+    * query multi-probes buckets within Hamming<=2 of its own signature
+    * (~37/256 of the corpus), then exact cosine re-ranks candidates.
     */
   def e03AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings").withColumn("bucket", lshSigUdf(col("embedding")))
@@ -83,10 +95,8 @@ object EmbeddingsQ {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
     val probes = queries.select(col("query_id"), col("q_emb"), col("q_bucket"),
-      explode(array((lit(-1) +: (0 until lshBits).map(lit(_))): _*)).as("flip"))
-      .withColumn("probe_bucket",
-        when(col("flip") === -1, col("q_bucket"))
-          .otherwise(col("q_bucket").bitwiseXOR(expr("shiftleft(1, flip)"))))
+      explode(array(probeMasks.map(lit(_)): _*)).as("mask"))
+      .withColumn("probe_bucket", col("q_bucket").bitwiseXOR(col("mask")))
       .select(col("query_id"), col("q_emb"), col("probe_bucket"))
     val cands = emb.join(broadcast(probes),
       col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))

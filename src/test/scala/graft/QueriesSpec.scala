@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end query surface: every SparkEntry query runs on sf0.001 and
+  * returns rows; semantic assertions on the kernel-backed (rows-only)
+  * queries that have no DuckDB oracle.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("every SparkEntry query returns rows on sf0.001") {
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).count()
+    }
+    val empty = counts.filter(_._2 == 0L)
+    assert(empty.isEmpty, s"empty results: ${empty.keys.mkString(",")}")
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle map keys are a subset of query keys") {
+    val unknown = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("x01 spans: offsets are dense per doc and kinds are extracted kinds") {
+    import spark.implicits._
+    val spans = queries.ExtractionQ.x01Spans(spark, dir)
+    val kinds = spans.select("kind").distinct().as[String].collect().toSet
+    assert(kinds.subsetOf(Set("text", "heading", "table_cell", "figure", "error")))
+    val bad = spans.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.expr("max(offset) + 1 as mx"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter("mx != n").count()
+    assert(bad == 0, "offsets must be exactly 0..n-1 per document")
+  }
+
+  test("x01 spans equal the pure-kernel output (distribution invariance)") {
+    import spark.implicits._
+    val viaSpark = queries.ExtractionQ.extracted(spark, dir).collect()
+      .map(e => e.doc_id -> e.spans).toMap
+    val docsLocal = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    docsLocal.foreach { case (id, text) =>
+      val pure = graft.tokenize.SpanTokenizer.extract(
+        graft.tokenize.DocGen.synthesize(f"doc_$id%09d", text))
+      assert(viaSpark(pure.doc_id) == pure.spans)
+    }
+  }
+
+  test("d06 minhash-lsh finds the planted near-duplicate variants") {
+    import spark.implicits._
+    val pairs = queries.DocumentsQ.d06MinhashLsh(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val planted = pairs.count { case (a, b) => b == a + 10000000L }
+    assert(planted >= 400, s"expected most of 500 planted near-dups, got $planted")
+  }
+
+  test("d08 exact jaccard confirms planted variants") {
+    val n = queries.DocumentsQ.d08NgramJaccard(spark, dir).count()
+    assert(n >= 450, s"planted variants should have jaccard >= 0.3, got $n")
+  }
+
+  test("e03 LSH ANN recall vs brute force is reasonable") {
+    import spark.implicits._
+    val exact = queries.EmbeddingsQ.e02AnnBruteForce(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = queries.EmbeddingsQ.e03AnnLsh(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.15, s"multi-probe LSH recall too low: $recall")
+  }
+
+  test("x07 golden F1 is high (pass1 vs pass2 mostly agree)") {
+    val row = queries.ExtractionQ.x07GoldenF1(spark, dir).collect().head
+    val micro = row.getAs[Double]("micro_f1")
+    assert(micro > 0.8 && micro <= 1.0, s"micro_f1=$micro")
+  }
+
+  test("x09 cross-field sum rule holds on generated tables") {
+    val df = queries.ExtractionQ.x09TableSumRule(spark, dir)
+    val total = df.count()
+    val ok = df.filter("sum_ok").count()
+    assert(total > 0 && ok == total, s"sum rule: $ok/$total")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming coverage (SURVEY.md §2.10): windowed aggregation via
+  * the query surface, plus genuine custom state with mapGroupsWithState —
+  * the per-user running state the reference keeps in its checkpoint store
+  * (runner.py:251-306) re-expressed as stream state.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming hourly agg equals the batch twin") {
+    // normalize the hour to a string: the streaming window and the batch
+    // date_trunc agree on values but surface different timestamp classes
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("cast(hour as string) AS hour", "event_type", "n", "sum_value")
+        .collect().toSeq
+    val streamed = norm(queries.StreamingQ.s01StreamHourly(spark, dir))
+    val batch = norm(queries.Relational.q17EventsHourly(spark, dir))
+    assert(streamed == batch)
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val updateFn: (Long, Iterator[Ev], GroupState[UserAgg]) => UserAgg =
+      (uid, evs, state) => {
+        val prior = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+        var n = prior.n
+        var tot = prior.total
+        evs.foreach { e => n += 1; tot += e.value }
+        val next = UserAgg(uid, n, tot)
+        state.update(next)
+        next
+      }
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
+    val name = "graft_state_test"
+    val q = stream.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name)
+      .groupBy("user_id")
+      .agg(max("n").as("n"))
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").count().orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+  }
+}
+
+/** Top-level (encoder-friendly) row types for the stateful streaming spec. */
+final case class Ev(user_id: Long, event_type: String, value: Double)
+final case class UserAgg(user_id: Long, n: Long, total: Double)
