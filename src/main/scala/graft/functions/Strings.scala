@@ -8,12 +8,62 @@ import java.text.Normalizer
   */
 object Strings {
 
+  /** Regex-\s class: [ \t\n\x0B\f\r] — the exact set `split("\\s+")` used. */
+  @inline private[graft] def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Collapse all whitespace runs to single spaces and trim.
     * Reference: string_utils.py:14-33 (`" ".join(text.split())`).
+    * Single-pass scan — this sits on the extraction kernel's hot path, where
+    * a per-call `split("\\s+")` would recompile its Pattern every invocation.
     */
-  def normalizeWhitespace(text: String): String =
-    if (text == null || text.isEmpty) ""
-    else text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  def normalizeWhitespace(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    val n = text.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isWs(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Whitespace-delimited tokens (fast equivalent of
+    * `split("\\s+").filter(_.nonEmpty)`).
+    */
+  private[graft] def splitWs(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuilder.make[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(text.charAt(i))) i += 1
+      if (i > start) out += text.substring(start, i)
+    }
+    out.result()
+  }
+
+  /** Count of whitespace-delimited tokens without materializing them. */
+  private[graft] def countWsTokens(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    var count = 0
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      if (i < n) { count += 1; while (i < n && !isWs(text.charAt(i))) i += 1 }
+    }
+    count
+  }
 
   private val namePrefixes =
     Seq("DR.", "DR", "MR.", "MR", "MRS.", "MRS", "MS.", "MS", "MISS")
@@ -153,11 +203,23 @@ object Strings {
     */
   def cleanOcrText(text: String): String = {
     if (text == null || text.isEmpty) return ""
-    text
-      .replaceAll("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
-      .replace('“', '"').replace('”', '"')
-      .replace('‘', '\'').replace('’', '\'')
-      .replaceAll("[\\u200b-\\u200d\\ufeff]", "")
+    // single pass (hot path): drop control chars (except \t \n \r) and
+    // zero-width chars, map smart quotes to ASCII
+    val n = text.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      val drop = (c < ' ' && c != '\t' && c != '\n' && c != '\r') ||
+        (c >= '\u200B' && c <= '\u200D') || c == '\uFEFF'
+      if (!drop) {
+        if (c == '“' || c == '”') sb.append('"')
+        else if (c == '‘' || c == '’') sb.append('\'')
+        else sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   /** Extract text between two markers. Reference: string_utils.py:419-462. */

@@ -9,10 +9,10 @@ package graft.functions
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: String): Int =
-    if (text == null || text.trim.isEmpty) 0
-    else text.trim.split("\\s+").length
+  /** Whitespace token count (single-pass; no per-call Pattern.compile). */
+  def tokenCountWs(text: String): Int = Strings.countWsTokens(text)
+
+  private val nonLetterRe = java.util.regex.Pattern.compile("[^\\p{L}]+")
 
   private val bpeishRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]".r
 
@@ -40,7 +40,7 @@ object TextAnalysis {
     */
   def langId(text: String): String = {
     if (text == null || text.trim.isEmpty) return "und"
-    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val toks = nonLetterRe.split(text.toLowerCase).filter(_.nonEmpty)
     if (toks.isEmpty) return "und"
     val scores = stopwords.map { case (lang, sw) =>
       lang -> toks.count(sw.contains).toDouble / toks.length
@@ -52,7 +52,7 @@ object TextAnalysis {
   /** Stopword ratio against the given language's list (en default). */
   def stopwordRatio(text: String, lang: String = "en"): Double = {
     if (text == null || text.trim.isEmpty) return 0.0
-    val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val toks = nonLetterRe.split(text.toLowerCase).filter(_.nonEmpty)
     if (toks.isEmpty) return 0.0
     val sw = stopwords.getOrElse(lang, stopwords("en"))
     toks.count(sw.contains).toDouble / toks.length
@@ -75,7 +75,7 @@ object TextAnalysis {
     val punctScore = if (punctRatio <= 0.1) 1.0 else math.max(0.0, 1.0 - (punctRatio - 0.1) * 5)
     val alpha = text.count(_.isLetter)
     val alphaScore = alpha.toDouble / len
-    val words = text.split("\\s+").filter(_.nonEmpty)
+    val words = Strings.splitWs(text)
     val meanWord = if (words.isEmpty) 0.0 else words.map(_.length).sum.toDouble / words.length
     val wordScore = if (meanWord >= 3 && meanWord <= 10) 1.0 else 0.5
     val swScore = math.min(1.0, stopwordRatio(text) * 5)

@@ -1,5 +1,8 @@
 package graft.pipeline
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,27 +12,39 @@ import graft.tokenize.SpanTokenizer
 /** The end-to-end extraction job (SURVEY.md §4 physical plan):
   *
   *   read -> drop committed buckets -> skew-aware repartition ->
-  *   mapPartitions(tokenizer kernel) -> write(partitionBy bucket) ->
+  *   mapPartitions(tokenizer kernel) -> atomic group-dir write ->
   *   metrics + per-bucket commit manifests
   *
   * Scale design decisions, in order of importance at 10^12 docs:
   *  - documents stay single rows end-to-end (extraction is embarrassingly
   *    parallel, map-only; the ONLY planned shuffle is the repartition);
-  *  - buckets = hash(doc_id) % B drive both resumability (a bucket is the
-  *    commit unit) and output layout (partitionBy("bucket") with dynamic
-  *    overwrite keeps re-runs idempotent);
-  *  - skew: doc_weight = total raw text length; docs above `heavyWeight`
+  *  - buckets = hash(doc_id) % B drive resumability (a bucket is the commit
+  *    unit recorded in the manifest store); buckets are processed in groups
+  *    of `groupSize`, and each group's output is written to a temp dir then
+  *    atomically renamed to `data/group=<buckets>` — a group is either fully
+  *    visible or absent, so a kill loses at most one group of work. In
+  *    production the rename is an Iceberg snapshot commit (Checkpoint.scala);
+  *    on re-run, group dirs whose buckets are not all manifest-committed are
+  *    swept away before processing, so output rows are exactly-once;
+  *  - file count is bounded by tasks-per-group (one file per non-empty task),
+  *    NOT tasks x buckets: we deliberately do NOT partitionBy("bucket") at
+  *    write time — with a salted composite repartition every task would touch
+  *    every bucket and emit tasks x buckets small files per group, the classic
+  *    small-files failure at 1000 executors. Bucket stays a data column; the
+  *    manifest maps buckets -> group dirs for pruned reads;
+  *  - skew: doc_weight = total raw payload length; docs above `heavyWeight`
   *    are isolated onto their own partitions (a pathological mega-doc can't
   *    hold a whole partition of normal docs hostage), everything else is
   *    salted uniformly (hash(doc_id) is already uniform);
-  *  - commit groups: buckets are processed in groups of `groupSize`; after
-  *    each group's write, its manifests commit atomically. A kill between
-  *    groups loses at most one group of work; Iceberg snapshot-per-group in
-  *    production (see Checkpoint.scala);
+  *  - per-group metrics read back only that group's files (O(group), not
+  *    O(total output) — re-reading the whole table per commit would be
+  *    quadratic across a run);
   *  - lineage: every output row carries extraction_path + the physical
   *    partition id that produced it; per-(bucket, partition) metric rows
   *    land next to the data (Provenance.extraction_path semantics,
-  *    reference src/pipeline/provenance.py:132-139).
+  *    reference src/pipeline/provenance.py:132-139). Metrics are append-only
+  *    history keyed by run_id; the authoritative totals live in the bucket
+  *    manifests.
   */
 object ExtractJob {
 
@@ -37,6 +52,7 @@ object ExtractJob {
       nBuckets: Int = 32,
       groupSize: Int = 8,
       heavyWeight: Long = 200000L,
+      saltMod: Int = 64,
       tokenizer: SpanTokenizer.Config = SpanTokenizer.default,
       runId: String = "run",
       // test hook: simulate a crash after N commit groups
@@ -65,11 +81,39 @@ object ExtractJob {
     (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
 
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+
+  /** Sweep stale state from a previous crashed run: temp dirs, and any group
+    * dir whose buckets are not ALL manifest-committed (a crash between the
+    * group rename and its manifest writes leaves such a dir; its buckets will
+    * be reprocessed, so the dir must go to keep output exactly-once).
+    */
+  private def sweepUncommitted(outDir: String, committed: Set[Int]): Unit = {
+    val root = Paths.get(outDir)
+    if (!Files.isDirectory(root)) return
+    Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".tmp-group-"))
+      .foreach(deleteRecursively)
+    val dataDir = root.resolve("data")
+    if (!Files.isDirectory(dataDir)) return
+    Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("group="))
+      .foreach { d =>
+        val buckets = d.getFileName.toString.stripPrefix("group=")
+          .split('-').flatMap(s => scala.util.Try(s.toInt).toOption)
+        if (!buckets.forall(committed.contains)) deleteRecursively(d)
+      }
+  }
+
   def run(spark: SparkSession, docs: Dataset[Doc], outDir: String,
       cfg: Config = Config()): RunStats = {
     import spark.implicits._
     val store = new LocalManifestStore(outDir)
     val committed = store.committedBuckets()
+    sweepUncommitted(outDir, committed)
     val allBuckets = 0 until cfg.nBuckets
     val remaining = allBuckets.filterNot(committed.contains)
     if (remaining.isEmpty)
@@ -77,12 +121,16 @@ object ExtractJob {
 
     val nB = cfg.nBuckets
     val heavy = cfg.heavyWeight
-    // weight + bucket computed once, before the shuffle
-    val keyed = docs.map { d =>
-      val weight = d.spans.iterator.map(s =>
-        s.text.length.toLong + s.media_ref.length.toLong).sum
-      (bucketOf(d.doc_id, nB), weight, d)
-    }.toDF("bucket", "weight", "doc")
+    // weight + bucket computed as COLUMNS before the shuffle: a typed
+    // map-to-tuple here would deserialize + re-serialize every nested spans
+    // array once more per row; `aggregate` over the struct column and a
+    // string-only UDF stay on the columnar path
+    val bucketUdf = udf((id: String) => bucketOf(id, nB))
+    val keyed = docs.toDF()
+      .withColumn("weight", aggregate(col("spans"), lit(0L), (acc, s) =>
+        acc + length(s.getField("text")).cast("long") +
+          length(s.getField("media_ref")).cast("long")))
+      .withColumn("bucket", bucketUdf(col("doc_id")))
 
     val groups = remaining.grouped(cfg.groupSize).toSeq
     var processed = List.empty[Int]
@@ -91,19 +139,24 @@ object ExtractJob {
 
     groups.zipWithIndex.foreach { case (group, gi) =>
       if (cfg.failAfterGroups.forall(gi < _)) {
-        val groupSet = group.toSet
+        // At 10^12 scale this filter is partition pruning on the bucketed
+        // input table (each group scans only its own buckets); locally it
+        // re-derives the input per group — bench runs use one group.
         val inGroup = keyed.filter(col("bucket").isin(group.map(Integer.valueOf): _*))
         // Light docs: salted hash repartition (uniform). Heavy docs: their own
         // repartition by doc_id. The union CONCATENATES the two partition
         // sets without another shuffle, so no light doc ever shares a
         // partition with a mega-doc — a straggler mega-doc can only delay
-        // its own partition.
+        // its own partition. The two branches are two scans of the input; on
+        // the production table the weight predicate pushes into row-group
+        // stats (cluster by weight at ingest), so the heavy scan is ~free.
         val light = inGroup.filter(col("weight") < heavy)
-          .repartition(col("bucket"), pmod(xxhash64(col("doc.doc_id")), lit(64)))
+          .repartition(col("bucket"),
+            pmod(xxhash64(col("doc_id")), lit(cfg.saltMod)))
         val heavyDs = inGroup.filter(col("weight") >= heavy)
-          .repartition(col("doc.doc_id"))
+          .repartition(col("doc_id"))
         val part = light.unionByName(heavyDs)
-        val extracted = part.select(col("doc").as[Doc])
+        val extracted = part.select(col("doc_id"), col("spans")).as[Doc]
           .mapPartitions { it =>
             val pid = TaskContext.getPartitionId()
             SpanTokenizer.extractPartition(it, tok).map { e =>
@@ -112,16 +165,19 @@ object ExtractJob {
                 bucketOf(e.doc_id, nB))
             }
           }
-        extracted.write
-          .mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(s"$outDir/data")
+
+        val gname = group.mkString("-")
+        val tmp = Paths.get(outDir, s".tmp-group-$gname")
+        extracted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val target = Paths.get(outDir, "data", s"group=$gname")
+        Files.createDirectories(target.getParent)
+        deleteRecursively(target) // stale uncommitted dir from a crashed run
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
 
         // metric rows at (bucket, partition) granularity — the per-partition
-        // lineage record written alongside each commit
-        val metrics = spark.read.parquet(s"$outDir/data")
-          .filter(col("bucket").isin(group.map(Integer.valueOf): _*))
+        // lineage record written alongside each commit; reads ONLY this
+        // group's files
+        val metrics = spark.read.parquet(target.toString)
           .groupBy(col("bucket"), col("partition_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_spans")).as("n_spans"),
             sum(col("n_errors")).as("n_errors"))

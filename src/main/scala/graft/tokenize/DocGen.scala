@@ -73,8 +73,7 @@ object DocGen {
 
   /** Synthesize the raw interleaved document for (doc_id, seed text). */
   def synthesize(docId: String, seedText: String): Doc = {
-    val words = (if (seedText == null) "" else seedText)
-      .split("\\s+").filter(_.nonEmpty).toIndexedSeq
+    val words = graft.functions.Strings.splitWs(seedText).toIndexedSeq
     val w = if (words.isEmpty) IndexedSeq("empty", "document", "body") else words
     val spans = Seq.newBuilder[Span]
     var off = 0

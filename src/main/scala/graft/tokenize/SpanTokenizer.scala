@@ -36,18 +36,25 @@ object SpanTokenizer {
 
   private val headingMax = 60
 
+  private val blankLineRe = java.util.regex.Pattern.compile("\\n\\s*\\n")
+  private val starRe = java.util.regex.Pattern.compile("\\*")
+
   /** pdf_text blocks: split on blank lines, reading order preserved; short
-    * unpunctuated blocks become headings.
+    * unpunctuated blocks become headings. (Patterns precompiled — hot path.)
     */
   private def pdfBlocks(text: String): Seq[(String, String)] = {
     if (text == null || text.trim.isEmpty) return Seq.empty
-    text.split("\\n\\s*\\n").toIndexedSeq
+    blankLineRe.split(text).toIndexedSeq
       .map(b => Strings.normalizeWhitespace(Strings.cleanOcrText(b)))
       .filter(_.nonEmpty)
       .map { b =>
-        val words = b.split(" ").length
-        val heading = b.length <= headingMax && words <= 6 &&
-          !b.endsWith(".") && !b.endsWith("!") && !b.endsWith("?")
+        // b is whitespace-normalized: words = spaces + 1
+        var spaces = 0
+        var i = 0
+        while (i < b.length) { if (b.charAt(i) == ' ') spaces += 1; i += 1 }
+        val last = b.charAt(b.length - 1)
+        val heading = b.length <= headingMax && spaces <= 5 &&
+          last != '.' && last != '!' && last != '?'
         (if (heading) SpanKind.Heading else SpanKind.Text, b)
       }
   }
@@ -55,9 +62,9 @@ object SpanTokenizer {
   /** EDI segments: split on `~`, fields on `*`, re-joined normalized. */
   private def ediSegments(text: String): Seq[String] =
     if (text == null || text.trim.isEmpty) Seq.empty
-    else text.split("~").toIndexedSeq
+    else text.split('~').toIndexedSeq
       .map(_.trim).filter(_.nonEmpty)
-      .map(seg => seg.split("\\*", -1).map(Strings.normalizeWhitespace).mkString("*"))
+      .map(seg => starRe.split(seg, -1).map(Strings.normalizeWhitespace).mkString("*"))
 
   /** Expand one raw span into extracted (kind, text, media_ref) triples. */
   def expandRaw(raw: Span, cfg: Config): Seq[(String, String, String)] = raw.kind match {

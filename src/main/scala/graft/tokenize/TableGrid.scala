@@ -16,9 +16,11 @@ import graft.model.{Cell, Grid, GridRow}
   */
 object TableGrid {
 
+  private val pipeRe = java.util.regex.Pattern.compile("\\|")
+
   def parse(text: String): Grid = {
     if (text == null || text.trim.isEmpty) return Grid(Seq.empty, Seq.empty, 0)
-    val lines = text.split("\n").filter(_.nonEmpty)
+    val lines = text.split('\n').filter(_.nonEmpty)
     var headers = Seq.empty[String]
     val rows = Seq.newBuilder[GridRow]
     var ri = 0
@@ -28,7 +30,7 @@ object TableGrid {
         else if (line.startsWith("S:")) ((false, false, true), line.substring(2))
         else if (line.startsWith("T:")) ((false, true, false), line.substring(2))
         else ((false, false, false), line)
-      val cells = body.split("\\|", -1).toIndexedSeq.zipWithIndex.map {
+      val cells = pipeRe.split(body, -1).toIndexedSeq.zipWithIndex.map {
         case (c, ci) => Cell(ri, ci, c)
       }
       val (isHeader, isTotal, isSep) = flags
