@@ -36,6 +36,9 @@ object SparkEntry {
     "q16_sessions" -> (Relational.q16Sessions _),
     "q17_events_hourly" -> (Relational.q17EventsHourly _),
     "q18_events_json" -> (Relational.q18EventsJson _),
+    "q19_grouping_sets" -> (Relational.q19GroupingSets _),
+    "q20_asof_join" -> (Relational.q20AsofJoin _),
+    "q21_range_join" -> (Relational.q21RangeJoin _),
     // training-data pipeline ops over documents (dedup / text analysis)
     "d01_exact_dups" -> (DocumentsQ.d01ExactDups _),
     "d02_token_counts" -> (DocumentsQ.d02TokenCounts _),
@@ -48,12 +51,14 @@ object SparkEntry {
     "d09_lang_id" -> (DocumentsQ.d09LangId _),
     "d10_fingerprints" -> (DocumentsQ.d10Fingerprints _),
     "d11_top_tokens" -> (DocumentsQ.d11TopTokens _),
+    "d13_native_tokens" -> (DocumentsQ.d13NativeTokens _),
     // similarity search over embeddings
     "e01_norms" -> (EmbeddingsQ.e01Norms _),
     "e02_ann_bruteforce" -> (EmbeddingsQ.e02AnnBruteForce _),
     "e03_ann_lsh" -> (EmbeddingsQ.e03AnnLsh _),
     "e04_knn_classify" -> (EmbeddingsQ.e04KnnClassify _),
     "e05_centroids" -> (EmbeddingsQ.e05Centroids _),
+    "e06_embedding_neardup" -> (EmbeddingsQ.e06EmbeddingNearDup _),
     // the extraction pipeline (north rule)
     "x01_spans" -> (ExtractionQ.x01Spans _),
     "x02_span_stats" -> (ExtractionQ.x02SpanStats _),
@@ -64,6 +69,7 @@ object SparkEntry {
     "x07_golden_f1" -> (ExtractionQ.x07GoldenF1 _),
     "x08_suspicion" -> (ExtractionQ.x08Suspicion _),
     "x09_table_sum_rule" -> (ExtractionQ.x09TableSumRule _),
+    "x10_code_validation" -> (ExtractionQ.x10CodeValidation _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _))
@@ -164,6 +170,64 @@ object SparkEntry {
         "COUNT(*) AS n, " +
         "CAST(SUM(TRY_CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "q19_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, n"),
+    "q20_asof_join" ->
+      ("SELECT p.user_id, p.event_id, v.event_id AS view_event_id, v.value AS view_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND p.ts >= v.ts " +
+        "ORDER BY p.user_id, p.event_id"),
+    "q21_range_join" ->
+      ("SELECT s.user_id, s.signup_id, COUNT(*) AS n_following, " +
+        "MIN(e.event_id) AS first_event_id " +
+        "FROM (SELECT user_id, event_id AS signup_id, ts AS signup_ts FROM events " +
+        "WHERE event_type = 'signup') s " +
+        "JOIN events e ON e.user_id = s.user_id AND e.ts > s.signup_ts " +
+        "AND e.ts <= s.signup_ts + INTERVAL 1 HOUR " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "d13_native_tokens" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, " +
+        "(len(regexp_extract_all(text, '\\S+')) < 20) AS is_short " +
+        "FROM documents ORDER BY doc_id"),
+    "e02_ann_bruteforce" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20), " +
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+        "list_sum(list_transform(list_zip(q.q_emb, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id) " +
+        "SELECT query_id, neighbor_id, cos_sim, rank FROM " +
+        "(SELECT query_id, neighbor_id, cos_sim, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank " +
+        "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
+    "e04_knn_classify" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100), " +
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label, " +
+        "list_sum(list_transform(list_zip(q.q_emb, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id), " +
+        "votes AS (SELECT query_id, label, COUNT(*) AS votes FROM " +
+        "(SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) " +
+        "WHERE rank <= 10 GROUP BY 1, 2) " +
+        "SELECT query_id, label AS predicted_label, votes FROM " +
+        "(SELECT query_id, label, votes, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY votes DESC, label) AS vr FROM votes) WHERE vr = 1 ORDER BY query_id"),
+    "e06_embedding_neardup" ->
+      ("SELECT vec_a, vec_b, cos_sim FROM (" +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
+        "ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100"),
     "d01_exact_dups" ->
       ("SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc " +
         "FROM documents GROUP BY 1 ORDER BY 1"),

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-stage-codegen'd whitespace token count over UTF8String bytes.
+  *
+  * Semantics match `size(split(trim(text), "\\s+"))` for non-blank input and
+  * return 0 for null/blank input (the `split` idiom returns 1 there — SQL
+  * surfaces of this expression pair it with an explicit blank guard in the
+  * oracle). Counting runs directly over the UTF-8 bytes with no Pattern, no
+  * String materialization and no array allocation: the regex-\s class is pure
+  * ASCII, and UTF-8 continuation/lead bytes of multibyte code points are
+  * never ASCII, so a byte-level scan is exact.
+  *
+  * This is the preference-order (b) path of the engine contract — a native
+  * Catalyst Expression with `doGenCode` where a UDF would break whole-stage
+  * codegen. Registered for SQL via [[graft.plans.GraftExtensions]] (the
+  * `spark.sql.extensions` production route) or
+  * [[NativeFunctions.ensureRegistered]] (works on any already-built session).
+  */
+case class WsTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ws_token_count requires STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ws_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.wsTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.wsTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokenCount =
+    copy(child = newChild)
+}
+
+/** Static kernels referenced from generated code (must be stable, public,
+  * and JVM-static-reachable from the codegen'd class).
+  */
+object NativeKernels {
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def wsTokenCount(s: UTF8String): Int = {
+    if (s == null) return 0
+    val n = s.numBytes()
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWsByte(s.getByte(i))) i += 1
+      if (i < n) { count += 1; while (i < n && !isWsByte(s.getByte(i))) i += 1 }
+    }
+    count
+  }
+}
+
+/** Session-level registration helpers for the native expression library. */
+object NativeFunctions {
+
+  /** Idempotently register the native functions on an existing session —
+    * covers harnesses that build the SparkSession without
+    * `spark.sql.extensions` wired.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ws_token_count", exprs => WsTokenCount(exprs.head), "scala_udf")
+}

@@ -170,6 +170,21 @@ object DocumentsQ {
         fingerprintUdf(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Token counting through the native codegen'd Catalyst expression
+    * (graft.functions.WsTokenCount): stays inside whole-stage codegen with
+    * zero per-row regex/array allocation, unlike the split() idiom of d02 or
+    * a Scala UDF. Registered on the session idempotently (production route:
+    * spark.sql.extensions=graft.plans.GraftExtensions).
+    */
+  def d13NativeTokens(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeFunctions.ensureRegistered(spark)
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        call_function("ws_token_count", col("text")).cast("long").as("n_tokens"))
+      .withColumn("is_short", col("n_tokens") < 20L)
+      .orderBy("doc_id")
+  }
+
   /** Top-k most frequent token per language — explode + two-level agg. */
   def d11TopTokens(spark: SparkSession, dir: String): DataFrame = {
     val toks = load(spark, dir, "documents")

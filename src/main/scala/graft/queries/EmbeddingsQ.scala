@@ -130,6 +130,24 @@ object EmbeddingsQ {
       .orderBy("query_id")
   }
 
+  /** Embedding-cosine near-duplicate pairs (training-data dedup surface):
+    * the 100 most-similar pairs corpus-wide. Exact all-pairs here for oracle
+    * parity; the 10^9-vector scale path is the e03 LSH bucketing (candidates
+    * within Hamming<=2 of the signature) followed by this exact re-check —
+    * same re-check expression, candidate set ~37/256 of the quadratic.
+    */
+  def e06EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) /
+          (norm(col("emb_a")) * norm(col("emb_b")))).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
   /** Per-label centroid norms — elementwise mean via posexplode + re-agg,
     * the distributed shape for centroid computation (k-means step analog).
     */

@@ -161,6 +161,32 @@ object ExtractionQ {
       .orderBy("doc_id")
   }
 
+  /** Cell-type classification + code validation over extracted table cells
+    * (TableCell.cell_type semantics, reference src/pipeline/table_types.py:
+    * 14-25, backed by the validator library — NPI Luhn validators.py:837-939,
+    * CPT ^\d{5}$, currency clean_currency string_utils.py:151-202).
+    * Deterministic ladder: npi > code5 > currency (symbol + parse) >
+    * number (parse) > empty > text.
+    */
+  def x10CodeValidation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Codes
+    val cellTypeUdf = udf { (t: String) =>
+      val s = if (t == null) "" else t.trim
+      if (s.isEmpty) "empty"
+      else if (Codes.validateNpi(s)) "npi"
+      else if (Codes.validCpt(s)) "code5"
+      else if (s.exists("$£€¥".contains(_)) && Strings.cleanCurrency(s).isDefined) "currency"
+      else if (Strings.cleanCurrency(s).isDefined) "number"
+      else "text"
+    }
+    extracted(spark, dir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === SpanKind.TableCell)
+      .groupBy(cellTypeUdf(col("s.text")).as("cell_type"))
+      .agg(count(lit(1)).as("n_cells"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("cell_type")
+  }
+
   /** Cross-field sum rule over reconstructed tables: data-row amounts must
     * sum to the total row within 0.01 (cross_field.py nested-sum rule).
     */

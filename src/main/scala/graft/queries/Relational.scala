@@ -224,4 +224,63 @@ object Relational {
       .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
       .orderBy("event_type")
   }
+
+  /** GROUPING SETS over (flag, status), (flag), (): one shuffle, the expand
+    * happens map-side before partial aggregation.
+    */
+  def q19GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+        col("n"))
+  }
+
+  /** As-of join: each purchase event matched to the user's latest view event
+    * at-or-before its timestamp. Implemented shuffle-lean as a tagged union +
+    * one window pass (ONE shuffle on user_id, no non-equi join): within each
+    * user's timeline, `last(view_id, ignoreNulls)` over rows-unbounded-
+    * preceding IS the as-of match; view rows sort before purchase rows on
+    * timestamp ties so the match is inclusive, mirroring ASOF JOIN's
+    * `p.ts >= v.ts`.
+    */
+  def q20AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("src"),
+        col("event_id").as("v_id"), col("value").as("v_value"),
+        lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("src"),
+        lit(null).cast("long").as("v_id"), lit(null).cast("double").as("v_value"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("view_event_id", last(col("v_id"), ignoreNulls = true).over(w))
+      .withColumn("view_value", last(col("v_value"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("user_id"), col("event_id"), col("view_event_id"), col("view_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Range (interval) join: signups joined to the same user's events in the
+    * following hour. Equi-key on user_id keeps it a hash join with the range
+    * predicate as a post-join filter — no O(n^2) cross product at scale.
+    */
+  def q21RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("signup_ts"))
+    val others = ev.select(col("user_id"), col("ts"), col("event_id"))
+    signups.join(others,
+        signups("user_id") === others("user_id") &&
+          others("ts") > signups("signup_ts") &&
+          others("ts") <= signups("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(signups("user_id").as("user_id"), col("signup_id"))
+      .agg(count(lit(1)).as("n_following"), min(col("event_id")).as("first_event_id"))
+      .orderBy("user_id", "signup_id")
+  }
 }

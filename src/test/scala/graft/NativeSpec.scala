@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{NativeFunctions, NativeKernels}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd expression (WsTokenCount) + as-of join edge semantics. */
+class NativeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("kernel counts ws tokens exactly, incl. multibyte and blank") {
+    assert(NativeKernels.wsTokenCount(u("a b  c")) == 3)
+    assert(NativeKernels.wsTokenCount(u("")) == 0)
+    assert(NativeKernels.wsTokenCount(u("  \t\n ")) == 0)
+    assert(NativeKernels.wsTokenCount(u(" héllo wörld ")) == 2)
+    assert(NativeKernels.wsTokenCount(u("日本\u3000語")) == 1) // U+3000 is not regex-\s
+    assert(NativeKernels.wsTokenCount(u("a\u000Bb")) == 2) // VT is regex-\s
+    assert(NativeKernels.wsTokenCount(null) == 0)
+  }
+
+  test("expression matches split-idiom through SQL (extensions route) and codegen") {
+    import spark.implicits._
+    val df = Seq("one two three", "  lead", "trail  ", "", "多字节 字符 here x")
+      .toDF("text")
+    df.createOrReplaceTempView("t_native")
+    // extensions-injected SQL function
+    val viaSql = spark.sql(
+      "SELECT text, ws_token_count(text) AS n FROM t_native").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // split() idiom reference (blank-guarded)
+    val viaSplit = df.select(col("text"),
+        when(trim(col("text")) === "", 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaSql == viaSplit)
+    // ensureRegistered path (bare session) agrees
+    NativeFunctions.ensureRegistered(spark)
+    val viaCall = df.select(col("text"),
+        call_function("ws_token_count", col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaCall == viaSplit)
+  }
+
+  test("expression stays inside whole-stage codegen") {
+    NativeFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val exec = spark.range(100)
+      .select(call_function("ws_token_count",
+        concat(lit("tok "), col("id").cast("string"))))
+      .queryExecution.executedPlan
+    val codegenProjects = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("ws_token_count") => w
+    }
+    assert(codegenProjects.nonEmpty, s"no codegen span in:\n$exec")
+  }
+
+  test("as-of join matches view at identical timestamp (inclusive) and none before") {
+    import spark.implicits._
+    // user 1: view at t1, purchase at t1 (tie -> inclusive match), purchase at t0 (no view yet)
+    val rows = Seq(
+      (10L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "purchase", 1.0, "{}"),
+      (11L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "view", 2.5, "{}"),
+      (12L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "purchase", 3.0, "{}"),
+      (13L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "purchase", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.queries.Relational.q20AsofJoin(spark, tmp).collect()
+      .map(r => r.getLong(1) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(10L).isEmpty, "purchase before any view must not match")
+    assert(out(12L).contains(11L), "equal-timestamp view must match (inclusive)")
+    assert(out(13L).contains(11L), "later purchase matches latest prior view")
+  }
+}
