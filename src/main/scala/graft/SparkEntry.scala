@@ -70,9 +70,11 @@ object SparkEntry {
     "x08_suspicion" -> (ExtractionQ.x08Suspicion _),
     "x09_table_sum_rule" -> (ExtractionQ.x09TableSumRule _),
     "x10_code_validation" -> (ExtractionQ.x10CodeValidation _),
+    "x11_calibration" -> (ExtractionQ.x11Calibration _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
-    "s02_user_state" -> (StreamingQ.s02UserState _))
+    "s02_user_state" -> (StreamingQ.s02UserState _),
+    "s03_watermark_append" -> (StreamingQ.s03WatermarkAppend _))
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -264,6 +266,11 @@ object SparkEntry {
       ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "s03_watermark_append" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n FROM events " +
+        "GROUP BY 1, 2 " +
+        "HAVING hour + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events) " +
+        "ORDER BY 1, 2"),
     "s02_user_state" ->
       ("SELECT user_id, n_events, last_event_type FROM " +
         "(SELECT user_id, event_type AS last_event_type, " +

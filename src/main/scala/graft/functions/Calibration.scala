@@ -1,0 +1,93 @@
+package graft.functions
+
+/** Confidence calibrators, semantics mirroring the reference's
+  * src/validation/calibration.py:139-326 (Platt / Isotonic / Linear,
+  * fit on small collected calibration sets, applied row-wise).
+  *
+  * Fit is driver-side on a collected sample — the reference caps its
+  * calibration points in SQLite the same way; at cluster scale the sample is
+  * a bounded `limit()` collect, the APPLY side is a broadcast binary-search
+  * per row. Isotonic uses classic PAV (pool adjacent violators); Platt is a
+  * deterministic fixed-iteration Newton fit of a 1-feature logistic.
+  */
+object Calibration {
+
+  /** A fitted isotonic step function: thresholds ascending, value per step. */
+  final case class Isotonic(xs: Array[Double], ys: Array[Double]) {
+    /** Piecewise-constant-with-linear-interpolation apply (PAV standard). */
+    def apply(x: Double): Double = {
+      if (xs.isEmpty) return x
+      if (x <= xs.head) return ys.head
+      if (x >= xs.last) return ys.last
+      var lo = 0
+      var hi = xs.length - 1
+      while (hi - lo > 1) {
+        val mid = (lo + hi) >>> 1
+        if (xs(mid) <= x) lo = mid else hi = mid
+      }
+      val (x0, x1, y0, y1) = (xs(lo), xs(hi), ys(lo), ys(hi))
+      if (x1 == x0) y0 else y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+    }
+  }
+
+  /** PAV: fit monotone non-decreasing y(x) minimizing squared error.
+    * Input: (score, label) pairs; label typically 0/1. Deterministic:
+    * ties on score are pre-pooled by averaging.
+    */
+  def fitIsotonic(points: Seq[(Double, Double)]): Isotonic = {
+    if (points.isEmpty) return Isotonic(Array.empty, Array.empty)
+    // pre-pool ties on x (deterministic regardless of input order)
+    val grouped = points.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (x, ps) => (x, ps.map(_._2).sum / ps.size, ps.size.toDouble) }
+    // PAV over blocks (x, mean, weight)
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ws = scala.collection.mutable.ArrayBuffer.empty[Double]
+    grouped.foreach { case (x, y, w) =>
+      xs += x; ys += y; ws += w
+      while (ys.length >= 2 && ys(ys.length - 2) > ys.last) {
+        val (y1, w1) = (ys.remove(ys.length - 1), ws.remove(ws.length - 1))
+        val (y0, w0) = (ys.remove(ys.length - 1), ws.remove(ws.length - 1))
+        xs.remove(xs.length - 1) // keep the left block's x as the knot
+        ys += (y0 * w0 + y1 * w1) / (w0 + w1)
+        ws += w0 + w1
+      }
+    }
+    Isotonic(xs.toArray, ys.toArray)
+  }
+
+  /** Platt scaling: sigmoid(a*x + b) fit by fixed-iteration Newton descent
+    * on log-loss. Deterministic (fixed start, fixed 25 iterations).
+    * Reference analog: calibration.py logistic fit.
+    */
+  def fitPlatt(points: Seq[(Double, Double)], iters: Int = 25): (Double, Double) = {
+    var a = 1.0
+    var b = 0.0
+    if (points.isEmpty) return (a, b)
+    var it = 0
+    while (it < iters) {
+      var ga = 0.0; var gb = 0.0
+      var haa = 1e-9; var hbb = 1e-9; var hab = 0.0
+      points.foreach { case (x, y) =>
+        val p = 1.0 / (1.0 + math.exp(-(a * x + b)))
+        val d = p - y
+        ga += d * x; gb += d
+        val w = p * (1 - p)
+        haa += w * x * x; hbb += w; hab += w * x
+      }
+      val det = haa * hbb - hab * hab
+      if (det.abs > 1e-12) {
+        a -= (hbb * ga - hab * gb) / det
+        b -= (haa * gb - hab * ga) / det
+      }
+      it += 1
+    }
+    (a, b)
+  }
+
+  def applyPlatt(ab: (Double, Double), x: Double): Double =
+    1.0 / (1.0 + math.exp(-(ab._1 * x + ab._2)))
+
+  /** The reference's linear fallback calibrator (0.85x + 0.05, clamped). */
+  def applyLinear(x: Double): Double = math.min(1.0, math.max(0.0, 0.85 * x + 0.05))
+}

@@ -187,6 +187,36 @@ object ExtractionQ {
       .orderBy("cell_type")
   }
 
+  /** Confidence calibration (calibration.py:139-326 semantics): isotonic
+    * (PAV) + Platt + linear calibrators fit driver-side on a bounded sample
+    * of (suspicion score, pass-agreement label) pairs, then applied row-wise
+    * (fit parameters broadcast by closure). At 10^12 docs the fit sample is
+    * a `limit(10k)` collect — the reference caps its calibration points the
+    * same way.
+    */
+  def x11Calibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Calibration
+    val agree = x06Reconcile(spark, dir)
+      .select(col("doc_id"), (col("agreement_rate") > 0.9).cast("double").as("label"))
+    val scored = x08Suspicion(spark, dir)
+      .select(col("doc_id"), col("suspicion"))
+      .join(agree, "doc_id")
+    val sample = scored.limit(10000)
+      .select(col("suspicion"), col("label"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val iso = Calibration.fitIsotonic(sample)
+    val platt = Calibration.fitPlatt(sample)
+    val isoUdf = udf { (x: Double) => iso(x) }
+    val plattUdf = udf { (x: Double) => Calibration.applyPlatt(platt, x) }
+    val linUdf = udf { (x: Double) => Calibration.applyLinear(x) }
+    scored
+      .select(col("doc_id"), col("suspicion").as("raw_score"), col("label"),
+        isoUdf(col("suspicion")).as("isotonic"),
+        plattUdf(col("suspicion")).as("platt"),
+        linUdf(col("suspicion")).as("linear"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-field sum rule over reconstructed tables: data-row amounts must
     * sum to the total row within 0.01 (cross_field.py nested-sum rule).
     */

@@ -39,6 +39,37 @@ object StreamingQ {
       .orderBy("hour", "event_type")
   }
 
+  /** Watermarked append-mode stream: hourly windows emitted only once the
+    * 2-hour event-time watermark passes the window end — the bounded-state
+    * production shape (state for closed windows is dropped). On the finite
+    * replay the tail windows inside the watermark horizon are withheld,
+    * exactly as they would be mid-stream; the oracle applies the same
+    * cutoff: window_end <= max(ts) - 2h.
+    */
+  def s03WatermarkAppend(spark: SparkSession, dir: String): DataFrame = {
+    val schema = load(spark, dir, "events").schema
+    val name = s"graft_stream_wm_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      // event-time watermarks require TIMESTAMP (table stores NTZ; session TZ is UTC)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Stateful stream: per-user running event count + last event type via
     * groupByKey over the replayed stream — demonstrated with
     * mapGroupsWithState in StreamingSpec; batch surface here mirrors the

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Calibration
+
+/** Calibrator goldens (reference calibration.py:139-326 semantics). */
+class CalibrationSpec extends AnyFunSuite {
+
+  test("PAV pools adjacent violators into a monotone step function") {
+    // classic PAV example: y = [1, 0] at x = [0.1, 0.2] pools to 0.5
+    val iso = Calibration.fitIsotonic(Seq((0.1, 1.0), (0.2, 0.0)))
+    assert(iso(0.1) == 0.5 && iso(0.2) == 0.5)
+    // already-monotone data is preserved exactly at the knots
+    val mono = Calibration.fitIsotonic(Seq((0.0, 0.0), (0.5, 0.5), (1.0, 1.0)))
+    assert(mono(0.0) == 0.0 && mono(0.5) == 0.5 && mono(1.0) == 1.0)
+    // interpolation between knots
+    assert(math.abs(mono(0.25) - 0.25) < 1e-12)
+    // clamping outside the fitted range
+    assert(mono(-1.0) == 0.0 && mono(2.0) == 1.0)
+  }
+
+  test("PAV output is monotone non-decreasing on arbitrary input") {
+    val pts = (0 until 200).map { i =>
+      val x = i / 200.0
+      (x, if (graft.functions.Hashing.mix64(i.toLong) % 2 == 0) 1.0 else 0.0)
+    }
+    val iso = Calibration.fitIsotonic(pts)
+    val applied = (0 to 100).map(i => iso(i / 100.0))
+    assert(applied.sliding(2).forall(p => p.head <= p.last + 1e-12))
+  }
+
+  test("ties on score are pooled deterministically (order-independent)") {
+    val a = Calibration.fitIsotonic(Seq((0.3, 1.0), (0.3, 0.0), (0.7, 1.0)))
+    val b = Calibration.fitIsotonic(Seq((0.7, 1.0), (0.3, 0.0), (0.3, 1.0)))
+    assert(a.xs.sameElements(b.xs) && a.ys.sameElements(b.ys))
+    assert(a(0.3) == 0.5)
+  }
+
+  test("Platt fit separates separable data and is deterministic") {
+    val pts = Seq((0.1, 0.0), (0.2, 0.0), (0.3, 0.0), (0.7, 1.0), (0.8, 1.0), (0.9, 1.0))
+    val ab = Calibration.fitPlatt(pts)
+    val lo = Calibration.applyPlatt(ab, 0.1)
+    val hi = Calibration.applyPlatt(ab, 0.9)
+    assert(lo < 0.5 && hi > 0.5 && lo < hi)
+    assert(Calibration.fitPlatt(pts) == ab) // fixed iterations -> deterministic
+  }
+
+  test("linear calibrator matches reference 0.85x + 0.05 with clamps") {
+    assert(Calibration.applyLinear(0.0) == 0.05)
+    assert(Calibration.applyLinear(1.0) == 0.9)
+    assert(Calibration.applyLinear(2.0) == 1.0)
+    assert(Calibration.applyLinear(-1.0) == 0.0)
+  }
+}
