@@ -41,10 +41,62 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd float-vector dot product: sum over index order of
+  * double-promoted elementwise products — bit-identical to the
+  * `aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0d, +)` HOF
+  * chain (and to DuckDB's ordered list_sum), but inside whole-stage codegen
+  * with no per-row array materialization. Higher-order functions are
+  * CodegenFallback in Spark — on an all-pairs similarity join this
+  * expression is the difference between interpreted and compiled inner
+  * loops. Norm = sqrt(dot(a, a)).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_vec_dot requires ARRAY<FLOAT> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeKernels.floatVecDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeKernels.floatVecDot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernels referenced from generated code (must be stable, public,
   * and JVM-static-reachable from the codegen'd class).
   */
 object NativeKernels {
+
+  def floatVecDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
 
   @inline private def isWsByte(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
@@ -69,7 +121,10 @@ object NativeFunctions {
     * covers harnesses that build the SparkSession without
     * `spark.sql.extensions` wired.
     */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ws_token_count", exprs => WsTokenCount(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+  }
 }

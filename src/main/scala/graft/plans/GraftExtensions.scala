@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.WsTokenCount
+import graft.functions.{FloatVecDot, WsTokenCount}
 
 /** Production wiring for the native expression library:
   *
@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WsTokenCount(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDot(exprs.head, exprs(1))))
   }
 }

@@ -17,35 +17,42 @@ import T._
   */
 object EmbeddingsQ {
 
-  /** Elementwise dot product with explicit double promotion — kept inside
-    * whole-stage codegen (zip_with + aggregate higher-order functions).
+  /** Elementwise dot product with explicit double promotion, via the
+    * codegen'd native expression (graft.functions.FloatVecDot): identical
+    * summation order to the zip_with+aggregate HOF chain and to DuckDB's
+    * list_sum (oracle-exact), but HOFs are CodegenFallback — on all-pairs
+    * similarity the native expression keeps the inner loop compiled.
     */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    graft.functions.NativeFunctions.ensureRegistered(spark)
+    call_function("float_vec_dot", a, b)
+  }
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  private def norm(spark: SparkSession, a: Column): Column =
+    sqrt(dot(spark, a, a))
 
   /** L2 norms (map-only; sanity surface for the ANN paths). */
   def e01Norms(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), norm(col("embedding")).as("l2_norm"))
+      .select(col("vec_id"), col("label"), norm(spark, col("embedding")).as("l2_norm"))
       .orderBy("vec_id")
 
   /** Brute-force cosine top-5 for the first 20 query vectors: corpus scanned
-    * once against a broadcast query set, ranked per query.
+    * once against a broadcast query set, ranked per query. Norms are
+    * precomputed per side BEFORE the join — recomputing them per pair would
+    * do |pairs| norm scans instead of |rows| (the values, hence the oracle
+    * comparison, are unchanged).
     */
   def e02AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+      .withColumn("e_norm", norm(spark, col("embedding")))
     val queries = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("e_norm").as("q_norm"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("q_emb"), col("embedding")) /
-          (norm(col("q_emb")) * norm(col("embedding")))).as("cos_sim"))
+        (dot(spark, col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("e_norm"))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -101,8 +108,8 @@ object EmbeddingsQ {
     val cands = emb.join(broadcast(probes),
       col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
     val scored = cands.select(col("query_id"), col("vec_id").as("neighbor_id"),
-      (dot(col("q_emb"), col("embedding")) /
-        (norm(col("q_emb")) * norm(col("embedding")))).as("cos_sim")).distinct()
+      (dot(spark, col("q_emb"), col("embedding")) /
+        (norm(spark, col("q_emb")) * norm(spark, col("embedding")))).as("cos_sim")).distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -112,12 +119,14 @@ object EmbeddingsQ {
   /** kNN majority-label classification for the first 100 vectors. */
   def e04KnnClassify(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+      .withColumn("e_norm", norm(spark, col("embedding")))
     val queries = emb.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("e_norm").as("q_norm"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
-        (dot(col("q_emb"), col("embedding")) /
-          (norm(col("q_emb")) * norm(col("embedding")))).as("cos_sim"))
+        (dot(spark, col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("e_norm"))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
@@ -138,12 +147,15 @@ object EmbeddingsQ {
     */
   def e06EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      .withColumn("e_norm", norm(spark, col("embedding")))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("e_norm").as("norm_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("e_norm").as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("emb_a"), col("emb_b")) /
-          (norm(col("emb_a")) * norm(col("emb_b")))).as("cos_sim"))
+        (dot(spark, col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b"))).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_a"), col("vec_b"))
       .limit(100)
   }

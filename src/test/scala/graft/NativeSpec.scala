@@ -67,6 +67,32 @@ class NativeSpec extends AnyFunSuite {
     assert(codegenProjects.nonEmpty, s"no codegen span in:\n$exec")
   }
 
+  test("float_vec_dot matches the HOF chain bit-exactly and stays codegen'd") {
+    NativeFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.5f, 2.0f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.4f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+    val both = df.select(
+      call_function("float_vec_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+    val exec = spark.range(10)
+      .select(call_function("float_vec_dot",
+        array(col("id").cast("float")), array(col("id").cast("float"))))
+      .queryExecution.executedPlan
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("float_vec_dot") => w
+    }.nonEmpty)
+  }
+
   test("as-of join matches view at identical timestamp (inclusive) and none before") {
     import spark.implicits._
     // user 1: view at t1, purchase at t1 (tie -> inclusive match), purchase at t0 (no view yet)
