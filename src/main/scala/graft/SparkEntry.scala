@@ -71,6 +71,7 @@ object SparkEntry {
     "x09_table_sum_rule" -> (ExtractionQ.x09TableSumRule _),
     "x10_code_validation" -> (ExtractionQ.x10CodeValidation _),
     "x11_calibration" -> (ExtractionQ.x11Calibration _),
+    "x12_media_pipeline" -> (ExtractionQ.x12MediaPipeline _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _),

@@ -187,6 +187,35 @@ object ExtractionQ {
       .orderBy("cell_type")
   }
 
+  /** Multimodal media pipeline (decode -> resize plan -> frame sampling)
+    * over the opaque media columns: blobs never inline in the shuffle
+    * (media_ref pointers only); the decode stage runs as a typed
+    * mapPartitions with a per-partition reusable decoder instance — the
+    * Scala analog of a batched mapInPandas decode. Decode itself is the
+    * documented deterministic STUB (no image/video libs in this container);
+    * schema, partitioning and batch shape are real.
+    */
+  def x12MediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rawDocs(spark, dir)
+      .flatMap(d => d.spans.filter(_.kind == SpanKind.Media)
+        .map(s => (d.doc_id, s.media_ref)))
+      .mapPartitions { it =>
+        // reusable per-partition decoder instance (no per-row setup)
+        val decode: String => SpanTokenizer.MediaMeta = SpanTokenizer.fakeDecodeMeta
+        it.map { case (docId, ref) =>
+          val m = decode(ref)
+          val (rw, rh) = SpanTokenizer.resizeFit(m.width, m.height, 224)
+          val frames = SpanTokenizer.sampleFrames(m.nFrames, 8)
+          (docId, ref, m.format, m.width, m.height, rw, rh,
+            m.nFrames, frames.mkString(","))
+        }
+      }
+      .toDF("doc_id", "media_ref", "format", "width", "height",
+        "resize_w", "resize_h", "n_frames", "sampled_frames")
+      .orderBy("doc_id", "media_ref")
+  }
+
   /** Confidence calibration (calibration.py:139-326 semantics): isotonic
     * (PAV) + Platt + linear calibrators fit driver-side on a bounded sample
     * of (suspicion score, pass-agreement label) pairs, then applied row-wise

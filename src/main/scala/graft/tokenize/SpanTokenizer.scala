@@ -98,6 +98,38 @@ object SpanTokenizer {
     QualityMetrics(blur, brightness, contrast)
   }
 
+  /** STUB — media header decode (dimensions/format/frame count). Production
+    * slots a real JVM decoder; the fake derives deterministic metadata from
+    * the media_ref hash so the Spark-side plumbing (schema, per-partition
+    * decoder reuse, batch shape) is real and testable without image libs.
+    */
+  final case class MediaMeta(width: Int, height: Int, format: String, nFrames: Int)
+
+  def fakeDecodeMeta(mediaRef: String): MediaMeta = {
+    val h = graft.functions.Hashing.fnv1a64(if (mediaRef == null) "" else mediaRef)
+    val width = 320 + math.abs(h % 3777L).toInt            // 320..4096
+    val height = 240 + math.abs((h >>> 16) % 2921L).toInt  // 240..3160
+    val format = (math.abs((h >>> 32) % 4L).toInt: @unchecked) match {
+      case 0 => "png"; case 1 => "jpg"; case 2 => "tiff"; case 3 => "mp4"
+    }
+    val nFrames = if (format == "mp4") 30 + math.abs((h >>> 40) % 3571L).toInt else 1
+    MediaMeta(width, height, format, nFrames)
+  }
+
+  /** Resize-to-fit plan preserving aspect ratio (max side -> target). */
+  def resizeFit(w: Int, h: Int, target: Int): (Int, Int) = {
+    if (w <= 0 || h <= 0) return (0, 0)
+    if (w <= target && h <= target) return (w, h)
+    if (w >= h) (target, math.max(1, math.round(h.toDouble * target / w).toInt))
+    else (math.max(1, math.round(w.toDouble * target / h).toInt), target)
+  }
+
+  /** Uniform frame-sample indices: k frames evenly spaced over n. */
+  def sampleFrames(n: Int, k: Int): Seq[Int] =
+    if (n <= 0 || k <= 0) Seq.empty
+    else if (n <= k) 0 until n
+    else (0 until k).map(i => (i.toLong * n / k).toInt)
+
   /** Tokenize one document. Total: never throws; per-span failures become
     * error spans (error-channel mandate, SURVEY.md §2.1 PDF validation row).
     */

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{DocumentsQ, EmbeddingsQ, Relational}
+
+/** Physical-plan shape assertions: the 100 TB contract is about WHICH plan
+  * runs, not just its output — filters must reach the parquet scan, small
+  * dims must broadcast, scans must prune to the referenced columns, and the
+  * tokenizer pipeline must shuffle exactly once. These pin the shapes so a
+  * refactor that silently regresses them fails the build.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def executed(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan
+  }
+
+  /** Recursive traversal that descends through AQE roots and query stages
+    * (plain collect() stops at stage boundaries).
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  test("q06 filters are pushed into the parquet scan") {
+    val plan = executed(Relational.q06Forecast(spark, dir))
+    val scans = allNodes(plan).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
+    assert(pushed.contains("GreaterThanOrEqual") || pushed.contains("LessThan"),
+      s"no range filters pushed: $pushed")
+  }
+
+  test("q06 scan prunes to the referenced columns only") {
+    val plan = executed(Relational.q06Forecast(spark, dir))
+    val scan = allNodes(plan).collect { case s: FileSourceScanExec => s }.head
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"),
+      s"scan reads $readCols")
+  }
+
+  test("q02 joins the customer dim via broadcast (no fact shuffle for the join)") {
+    val plan = executed(Relational.q02TopCustomers(spark, dir))
+    assert(allNodes(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"no broadcast hash join in:\n$plan")
+  }
+
+  test("e02 broadcasts the query set (corpus scanned once, never shuffled for the join)") {
+    val plan = executed(EmbeddingsQ.e02AnnBruteForce(spark, dir))
+    assert(allNodes(plan).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"no broadcast join in:\n$plan")
+  }
+
+  test("d02 token counts scan only (doc_id, text)") {
+    val plan = executed(DocumentsQ.d02TokenCounts(spark, dir))
+    val scan = allNodes(plan).collect { case s: FileSourceScanExec => s }.head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
+  }
+
+  test("d01 exact dedup shuffles only the hash, not the text") {
+    val plan = executed(DocumentsQ.d01ExactDups(spark, dir))
+    val shuffles = allNodes(plan).collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    // every shuffled attribute set must exclude the raw text column
+    shuffles.foreach { s =>
+      val cols = s.child.output.map(_.name)
+      assert(!cols.contains("text"), s"raw text shuffled: $cols")
+    }
+  }
+}
