@@ -52,6 +52,8 @@ object SparkEntry {
     "d10_fingerprints" -> (DocumentsQ.d10Fingerprints _),
     "d11_top_tokens" -> (DocumentsQ.d11TopTokens _),
     "d13_native_tokens" -> (DocumentsQ.d13NativeTokens _),
+    "d14_date_roundtrip" -> (DocumentsQ.d14DateRoundtrip _),
+    "d15_corrections" -> (DocumentsQ.d15Corrections _),
     // similarity search over embeddings
     "e01_norms" -> (EmbeddingsQ.e01Norms _),
     "e02_ann_bruteforce" -> (EmbeddingsQ.e02AnnBruteForce _),
@@ -72,6 +74,7 @@ object SparkEntry {
     "x10_code_validation" -> (ExtractionQ.x10CodeValidation _),
     "x11_calibration" -> (ExtractionQ.x11Calibration _),
     "x12_media_pipeline" -> (ExtractionQ.x12MediaPipeline _),
+    "x13_routing" -> (ExtractionQ.x13Routing _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _),
@@ -193,6 +196,15 @@ object SparkEntry {
         "JOIN events e ON e.user_id = s.user_id AND e.ts > s.signup_ts " +
         "AND e.ts <= s.signup_ts + INTERVAL 1 HOUR " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "d14_date_roundtrip" ->
+      ("SELECT o_orderkey, CAST(o_orderkey % 13 AS BIGINT) AS fmt_idx, " +
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS parsed_iso " +
+        "FROM orders ORDER BY o_orderkey"),
+    "d15_corrections" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang_final, " +
+        "(doc_id % 10 = 0) AS human_corrected, " +
+        "CAST(CASE WHEN doc_id % 10 = 0 THEN 1.0 ELSE 0.5 END AS DOUBLE) AS confidence " +
+        "FROM documents ORDER BY doc_id"),
     "d13_native_tokens" ->
       ("SELECT doc_id, " +
         "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, " +

@@ -185,6 +185,48 @@ object DocumentsQ {
       .orderBy("doc_id")
   }
 
+  /** 13-format date round-trip: every order date is formatted into one of
+    * the reference's 13 accepted input formats (chosen by key) and parsed
+    * back through the permissive parser (date_utils.py:17-91 semantics,
+    * functions/Dates.scala). The oracle is the original date — an exact
+    * DuckDB check that every format gate + formatter round-trips.
+    */
+  def d14DateRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import java.time.format.DateTimeFormatter
+    import java.util.Locale
+    val patterns = Seq(
+      "M/d/uuuu", "M-d-uuuu", "M/d/yy", "M-d-yy", "uuuu-MM-dd", "uuuu/MM/dd",
+      "MMMM d, uuuu", "MMMM d uuuu", "d MMMM uuuu", "MMM d, uuuu",
+      "MMM d uuuu", "MMdduuuu", "MMddyy")
+    val roundtripUdf = udf { (key: Long, d: java.time.LocalDate) =>
+      val raw = d.format(DateTimeFormatter.ofPattern(
+        patterns((key % patterns.length).toInt), Locale.US))
+      graft.functions.Dates.normalizeDate(raw).orNull
+    }
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % patterns.length).as("fmt_idx"),
+        roundtripUdf(col("o_orderkey"), col("o_orderdate").cast("date")).as("parsed_iso"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Human-correction overlay (reference runner.py:735-783): a corrections
+    * table LEFT-JOINED onto the corpus, corrected fields overwritten with
+    * confidence 1.0 and flagged. Corrections here are derived
+    * deterministically (every 10th doc) so the oracle can re-derive them.
+    */
+  def d15Corrections(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val corrections = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("xx").as("corrected_lang"))
+    docs.join(broadcast(corrections), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("corrected_lang"), col("lang")).as("lang_final"),
+        col("corrected_lang").isNotNull.as("human_corrected"),
+        when(col("corrected_lang").isNotNull, 1.0).otherwise(0.5).as("confidence"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k most frequent token per language — explode + two-level agg. */
   def d11TopTokens(spark: SparkSession, dir: String): DataFrame = {
     val toks = load(spark, dir, "documents")

@@ -246,6 +246,32 @@ object ExtractionQ {
       .orderBy("doc_id")
   }
 
+  /** Routing decision ladder (orchestrator.py:1306-1360): per-doc route in
+    * {complete, retry, human_review} from hallucination flag, calibrated
+    * confidence level (high >= .85 / medium >= .5) and a deterministic
+    * retry budget; flagged rows go to a review sink rather than a loop
+    * (batch semantics — SURVEY.md §2.5 routing row).
+    */
+  def x13Routing(spark: SparkSession, dir: String): DataFrame = {
+    val conf = x11Calibration(spark, dir)
+      .select(col("doc_id"), col("raw_score"), col("isotonic").as("confidence"))
+    val sus = x08Suspicion(spark, dir).select(col("doc_id"), col("is_likely_hallucination"))
+    conf.join(sus, "doc_id")
+      .withColumn("conf_level",
+        when(col("confidence") >= 0.85, "high")
+          .when(col("confidence") >= 0.5, "medium")
+          .otherwise("low"))
+      .withColumn("retries_left", pmod(xxhash64(col("doc_id")), lit(3)) > 0)
+      .withColumn("route",
+        when(col("is_likely_hallucination"), "human_review")
+          .when(col("conf_level") === "high", "complete")
+          .when(col("conf_level") === "medium" && col("retries_left"), "retry")
+          .otherwise("human_review"))
+      .select(col("doc_id"), col("confidence"), col("conf_level"),
+        col("is_likely_hallucination"), col("retries_left"), col("route"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-field sum rule over reconstructed tables: data-row amounts must
     * sum to the total row within 0.01 (cross_field.py nested-sum rule).
     */
