@@ -48,6 +48,77 @@ object Hashing {
     sig
   }
 
+  private def fnvContinue(h0: Long, bytes: Array[Byte]): Long = {
+    var h = h0
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature straight from the token array — bit-identical to
+    * `minhashSignature(shingles.toSet, n)` over space-joined word k-grams,
+    * with zero shingle-string allocation: FNV-1a is byte-sequential, so the
+    * k-gram hash is computed by continuing the hash across the tokens' UTF-8
+    * bytes with a ' ' byte between them, and deduplication is skipped
+    * outright because duplicate shingles cannot change a per-seed minimum.
+    * This is the hot inner loop of MinHash+LSH dedup at corpus scale.
+    */
+  def minhashFromTokens(tokens: Array[String], k: Int, numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (tokens.isEmpty) return sig
+    val tb = new Array[Array[Byte]](tokens.length)
+    var t = 0
+    while (t < tokens.length) { tb(t) = tokens(t).getBytes("UTF-8"); t += 1 }
+    val kk = math.min(k, tokens.length)
+    val nWindows = tokens.length - kk + 1
+    var w = 0
+    while (w < nWindows) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < kk) {
+        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        h = fnvContinue(h, tb(w + j))
+        j += 1
+      }
+      var i = 0
+      while (i < numHashes) {
+        val s = seededHash(h, i + 1)
+        if (s < sig(i)) sig(i) = s
+        i += 1
+      }
+      w += 1
+    }
+    sig
+  }
+
+  /** SimHash-64 straight from the token array (bit-identical to
+    * `simhash64(tokens)`, no intermediate collections).
+    */
+  def simhashFromTokens(tokens: Array[String]): Long = {
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = fnv1a64(tokens(t))
+      var b = 0
+      while (b < 64) {
+        counts(b) += (((h >>> b) & 1L) * 2 - 1).toInt
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Estimated Jaccard from two signatures. */
   def minhashSimilarity(a: Array[Long], b: Array[Long]): Double = {
     require(a.length == b.length)

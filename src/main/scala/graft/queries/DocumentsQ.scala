@@ -18,15 +18,18 @@ import T._
   */
 object DocumentsQ {
 
+  private def lowerTokens(text: String): Array[String] =
+    graft.functions.Strings.splitWs(if (text == null) "" else text.toLowerCase)
+
   private val minhashUdf = udf { (text: String) =>
-    Hashing.minhashSignature(TextAnalysis.shingles(text, 3).toSet, 64)
+    Hashing.minhashFromTokens(lowerTokens(text), 3, 64)
   }
   private val bandsUdf = udf { (sig: Seq[Long]) => Hashing.lshBandKeys(sig.toArray, 4) }
   private val minhashSimUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
     Hashing.minhashSimilarity(a.toArray, b.toArray)
   }
   private val simhashUdf = udf { (text: String) =>
-    Hashing.simhash64(TextAnalysis.shingles(text, 1))
+    Hashing.simhashFromTokens(lowerTokens(text))
   }
   private val jaccardUdf = udf { (a: String, b: String) => TextAnalysis.ngramJaccard(a, b, 3) }
   private val langIdUdf = udf { (text: String) => TextAnalysis.langId(text) }

@@ -109,4 +109,15 @@ class PropertiesSpec extends AnyFunSuite {
         TextAnalysis.fingerprint(a) == TextAnalysis.fingerprint(b)
     })
   }
+
+  test("token-array minhash/simhash fast paths are bit-identical to the string-shingle forms") {
+    check(Prop.forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr)).map(_.mkString(" "))) { text =>
+      val toks = Strings.splitWs(if (text == null) "" else text.toLowerCase)
+      val fast = Hashing.minhashFromTokens(toks, 3, 64).toSeq
+      val slow = Hashing.minhashSignature(TextAnalysis.shingles(text, 3).toSet, 64).toSeq
+      val fastSim = Hashing.simhashFromTokens(toks)
+      val slowSim = Hashing.simhash64(TextAnalysis.shingles(text, 1))
+      fast == slow && fastSim == slowSim
+    })
+  }
 }
