@@ -47,18 +47,25 @@ object Bench {
     * job READS a table, as the production pipeline does).
     */
   private def writeCorpus(spark: SparkSession, nDocs: Long, splits: Int,
-      dir: String): Unit = {
+      dir: String, skewed: Boolean = false): Unit = {
     import spark.implicits._
-    spark.range(0L, nDocs, 1L, splits).map(i => DocGen.syntheticDoc(i))
+    val gen: Long => graft.model.Doc =
+      if (skewed) DocGen.syntheticSkewedDoc else DocGen.syntheticDoc
+    spark.range(0L, nDocs, 1L, splits).map(i => gen(i))
       .write.mode("overwrite").parquet(dir)
   }
 
   /** End-to-end extraction run (read corpus -> extract -> write + commit). */
   private def extractRun(spark: SparkSession, corpus: String, nDocs: Long,
-      outDir: String): Double = {
+      outDir: String, isolateHeavy: Boolean = true): Double = {
     import spark.implicits._
     val docs = spark.read.parquet(corpus).as[graft.model.Doc]
-    val cfg = ExtractJob.Config(nBuckets = 32, groupSize = 32, runId = "bench")
+    val cfg = ExtractJob.Config(nBuckets = 32, groupSize = 32, runId = "bench",
+      // skew A/B: "skew" forces the 1.2M-char megas through isolation,
+      // "skew_noiso" disables isolation entirely; the production default
+      // (5M) would route them through the salted path (the measured winner
+      // at this mega size — see BASELINE.md)
+      heavyWeight = if (isolateHeavy) 200000L else Long.MaxValue)
     val t0 = System.nanoTime()
     val stats = ExtractJob.run(spark, docs, outDir, cfg)
     require(stats.nDocs == nDocs, s"extract run lost docs: ${stats.nDocs} != $nDocs")
@@ -76,7 +83,9 @@ object Bench {
     import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
     val docs = spark.read.parquet(corpus).as[graft.model.Doc]
     runMode match {
-      case "full" => extractRun(spark, corpus, nDocs, outDir)
+      case "full" | "skew" => extractRun(spark, corpus, nDocs, outDir)
+      case "skew_noiso" =>
+        extractRun(spark, corpus, nDocs, outDir, isolateHeavy = false)
       case "kernel" =>
         val t0 = System.nanoTime()
         docs.mapPartitions(graft.tokenize.SpanTokenizer.extractPartition(_))
@@ -187,14 +196,17 @@ object Bench {
       if (skipScaling) "null"
       else {
         val coresN = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "4").toInt
+        val mode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "full")
+        val skewed = mode.startsWith("skew")
         // shared corpus, materialized once (untimed): both cluster sizes
         // read the identical input bytes
         val corpusBase = {
-          val d = new java.io.File(tmpBase, s"corpus_$nDocs")
+          val kind = if (skewed) "skewed" else "uniform"
+          val d = new java.io.File(tmpBase, s"corpus_${kind}_$nDocs")
           if (!new java.io.File(d, "corpus/_SUCCESS").exists()) {
             val s = session(32)
-            writeCorpus(s, math.max(nDocs / 3, 1000L), 128, s"$d/corpus_warm")
-            writeCorpus(s, nDocs, 128, s"$d/corpus")
+            writeCorpus(s, math.max(nDocs / 3, 1000L), 128, s"$d/corpus_warm", skewed)
+            writeCorpus(s, nDocs, 128, s"$d/corpus", skewed)
             s.stop()
           }
           d.getAbsolutePath
@@ -208,7 +220,11 @@ object Bench {
           (dpsN, dps4N, dps4N / dpsN / 4.0)
         }
         val first = pass()
-        val best = if (first._3 >= 0.8) first else Seq(first, pass()).maxBy(_._3)
+        // sub-0.8 retry applies to the reported metric only, not to the
+        // skew/kernel diagnostic modes
+        val best =
+          if (first._3 >= 0.8 || mode != "full") first
+          else Seq(first, pass()).maxBy(_._3)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusBase))
         val (dpsN, dps4N, eff) = best
         f"""{"n_docs":$nDocs,"cores_n":$coresN,"cores_4n":${coresN * 4},""" +

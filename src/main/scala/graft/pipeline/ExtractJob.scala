@@ -48,10 +48,19 @@ import graft.tokenize.SpanTokenizer
   */
 object ExtractJob {
 
+  /** heavyWeight sizing rule (measured, see BASELINE.md skew A/B): isolate a
+    * document only when it is a meaningful fraction (~5%) of one partition's
+    * total char budget — below that, the salted uniform path absorbs the
+    * skew for free, and isolation's extra input scan + shuffle wave is a net
+    * loss (800k-doc corpus with 0.65k-x megas ran ~20% slower isolated).
+    * Default 5M chars ~ 5% of a 100M-char partition at the bench shape; at
+    * 10^12 docs set it from table stats: heavyWeight ~ 0.05 * totalChars /
+    * shufflePartitions.
+    */
   final case class Config(
       nBuckets: Int = 32,
       groupSize: Int = 8,
-      heavyWeight: Long = 200000L,
+      heavyWeight: Long = 5000000L,
       saltMod: Int = 64,
       tokenizer: SpanTokenizer.Config = SpanTokenizer.default,
       runId: String = "run",
@@ -155,7 +164,11 @@ object ExtractJob {
             pmod(xxhash64(col("doc_id")), lit(cfg.saltMod)))
         val heavyDs = inGroup.filter(col("weight") >= heavy)
           .repartition(col("doc_id"))
-        val part = light.unionByName(heavyDs)
+        // heavy partitions FIRST: union concatenates partition lists and
+        // Spark schedules tasks in partition order — longest-processing-
+        // time-first lets the mega-doc tasks run while light tasks pack
+        // around them instead of starting after the lights drain
+        val part = heavyDs.unionByName(light)
         val extracted = part.select(col("doc_id"), col("spans")).as[Doc]
           .mapPartitions { it =>
             val pid = TaskContext.getPartitionId()

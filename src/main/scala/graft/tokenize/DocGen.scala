@@ -114,4 +114,23 @@ object DocGen {
     val text = (0 until n).map(k => loremWords((start + k) % loremWords.length)).mkString(" ")
     synthesize(id, text)
   }
+
+  /** Skewed bench corpus (FIXTURES.md §5 bench-skewed): every 4096th doc is
+    * a pathological ~2000-page mega-document whose raw weight (~1.2 MB)
+    * crosses ExtractJob's default heavyWeight, so the isolation path is
+    * actually exercised — the regular 100x tail of syntheticDoc does not.
+    */
+  def syntheticSkewedDoc(i: Long): Doc = {
+    val base = syntheticDoc(i)
+    if (i % 4096 != 0) base
+    else {
+      val start = (math.abs(h(base.doc_id, 11)) % loremWords.length).toInt
+      val words = (0 until 80).map(k => loremWords((start + k) % loremWords.length))
+      val extra = (0 until 2000).map { j =>
+        Span(SpanKind.PdfText, pdfPayload(words.drop(j % 17)), "",
+          base.spans.length + j)
+      }
+      Doc(base.doc_id, base.spans ++ extra)
+    }
+  }
 }
