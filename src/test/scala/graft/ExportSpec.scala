@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Export
+import graft.tokenize.{DocGen, SpanTokenizer}
+
+/** Export sinks: round-trip through JSON/parquet and span-order invariance. */
+class ExportSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def extracted = {
+    import spark.implicits._
+    spark.range(50).map(i => SpanTokenizer.extract(DocGen.syntheticDoc(i)))
+  }
+
+  test("flat JSON export round-trips with span order intact") {
+    val out = Files.createTempDirectory("graft_export").toString
+    Export.writeJson(extracted, s"$out/flat")
+    val back = spark.read.json(s"$out/flat")
+    assert(back.count() == Export.flatSpans(extracted).count())
+    // per-doc offsets are exactly 0..n-1 after the round trip
+    import spark.implicits._
+    val bad = back.select("doc_id", "offset").as[(String, Long)]
+      .collect().groupBy(_._1)
+      .count { case (_, rows) =>
+        rows.map(_._2).sorted.toSeq != (0L until rows.length).toSeq
+      }
+    assert(bad == 0)
+  }
+
+  test("nested JSON export keeps one object per document") {
+    val out = Files.createTempDirectory("graft_export_n").toString
+    Export.writeJsonNested(extracted, s"$out/nested")
+    val back = spark.read.json(s"$out/nested")
+    assert(back.count() == 50)
+    assert(back.columns.contains("spans"))
+  }
+
+  test("flat parquet export matches the flat DataFrame exactly") {
+    val out = Files.createTempDirectory("graft_export_p").toString
+    Export.writeFlatParquet(extracted, s"$out/flat")
+    val back = spark.read.parquet(s"$out/flat")
+    assert(back.exceptAll(Export.flatSpans(extracted)).isEmpty)
+    assert(Export.flatSpans(extracted).exceptAll(back).isEmpty)
+  }
+}
