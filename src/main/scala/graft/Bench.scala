@@ -174,24 +174,10 @@ object Bench {
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
 
-    // ---- phase 1: per-query timings ----
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
-      else {
-        val spark = session(cpus)
-        try spark.read.parquet(s"$sfDir/nation.parquet").count() // scan warmup
-        catch { case _: Throwable => }
-        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-        }
-        spark.stop()
-        r
-      }
-
-    // ---- phase 2: N vs 4N scaling on the extraction pipeline ----
+    // ---- phase 1: N vs 4N scaling on the extraction pipeline ----
+    // Runs FIRST: the spawned measurement JVMs see a box unpolluted by the
+    // 50s query phase's heap/page-cache footprint (round 1 measured ~2x
+    // lower worker throughput when the query phase ran in-process first).
     val scalingJson =
       if (skipScaling) "null"
       else {
@@ -244,8 +230,33 @@ object Bench {
           f""""speedup":${eff * 4}%.3f,"efficiency":$eff%.3f,"attempts":$attempts}"""
       }
 
+    // ---- phase 2: per-query timings ----
+    val results =
+      if (skipQueries) Seq.empty[(String, Double)]
+      else {
+        val spark = session(cpus)
+        try spark.read.parquet(s"$sfDir/nation.parquet").count() // scan warmup
+        catch { case _: Throwable => }
+        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+        spark.stop()
+        r
+      }
+
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingJson}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scalingJson}"""
+    println(json)
+    // Also land the JSON in a file: the driver's log-scrape of the sbt
+    // stdout stream is lossy (round 1 got "parsed": null from an [error]
+    // fragment interleaved into the same [info] line).
+    val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
   }
 }

@@ -33,27 +33,46 @@ object Calibration {
   /** PAV: fit monotone non-decreasing y(x) minimizing squared error.
     * Input: (score, label) pairs; label typically 0/1. Deterministic:
     * ties on score are pre-pooled by averaging.
+    *
+    * Pooled blocks keep BOTH boundary thresholds as knots with the same y
+    * (sklearn IsotonicRegression's X_thresholds_/y_thresholds_), so apply()
+    * is constant within a pooled block and linearly interpolates only
+    * BETWEEN blocks — e.g. points (0,1),(1,0),(2,1) give iso(1.0) = 0.5,
+    * not the 0.75 a left-knot-only fit would produce.
     */
   def fitIsotonic(points: Seq[(Double, Double)]): Isotonic = {
     if (points.isEmpty) return Isotonic(Array.empty, Array.empty)
     // pre-pool ties on x (deterministic regardless of input order)
     val grouped = points.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (x, ps) => (x, ps.map(_._2).sum / ps.size, ps.size.toDouble) }
-    // PAV over blocks (x, mean, weight)
-    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // PAV over blocks (xLeft, xRight, mean, weight)
+    val xl = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val xr = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ws = scala.collection.mutable.ArrayBuffer.empty[Double]
     grouped.foreach { case (x, y, w) =>
-      xs += x; ys += y; ws += w
+      xl += x; xr += x; ys += y; ws += w
       while (ys.length >= 2 && ys(ys.length - 2) > ys.last) {
         val (y1, w1) = (ys.remove(ys.length - 1), ws.remove(ws.length - 1))
         val (y0, w0) = (ys.remove(ys.length - 1), ws.remove(ws.length - 1))
-        xs.remove(xs.length - 1) // keep the left block's x as the knot
+        val right = xr.remove(xr.length - 1)
+        xl.remove(xl.length - 1)
+        xr(xr.length - 1) = right // merged block spans [left.xl, right.xr]
         ys += (y0 * w0 + y1 * w1) / (w0 + w1)
         ws += w0 + w1
       }
     }
-    Isotonic(xs.toArray, ys.toArray)
+    // emit knots: one per single-x block, two (left + right, same y) per
+    // pooled block
+    val kx = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ky = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < ys.length) {
+      kx += xl(i); ky += ys(i)
+      if (xr(i) > xl(i)) { kx += xr(i); ky += ys(i) }
+      i += 1
+    }
+    Isotonic(kx.toArray, ky.toArray)
   }
 
   /** Platt scaling: sigmoid(a*x + b) fit by fixed-iteration Newton descent

@@ -8,13 +8,16 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole-stage-codegen'd whitespace token count over UTF8String bytes.
   *
-  * Semantics match `size(split(trim(text), "\\s+"))` for non-blank input and
-  * return 0 for null/blank input (the `split` idiom returns 1 there — SQL
-  * surfaces of this expression pair it with an explicit blank guard in the
-  * oracle). Counting runs directly over the UTF-8 bytes with no Pattern, no
-  * String materialization and no array allocation: the regex-\s class is pure
-  * ASCII, and UTF-8 continuation/lead bytes of multibyte code points are
-  * never ASCII, so a byte-level scan is exact.
+  * Semantics: token count = number of maximal runs of non-whitespace, with
+  * whitespace = the RE2 \s class [\t\n\f\r ] (see NativeKernels.isWsByte),
+  * i.e. exactly `len(regexp_extract_all(text, '\S+'))` in DuckDB. Blank
+  * input counts 0 (the `split` idiom would return 1 there); NULL input
+  * null-propagates to NULL, like every Catalyst null-safe expression — SQL
+  * surfaces that need 0-for-null wrap it in coalesce. Counting runs directly
+  * over the UTF-8 bytes with no Pattern, no String materialization and no
+  * array allocation: the whitespace class is pure ASCII, and UTF-8
+  * continuation/lead bytes of multibyte code points are never ASCII, so a
+  * byte-level scan is exact.
   *
   * This is the preference-order (b) path of the engine contract — a native
   * Catalyst Expression with `doGenCode` where a UDF would break whole-stage
@@ -44,8 +47,9 @@ case class WsTokenCount(child: Expression) extends UnaryExpression {
 /** Codegen'd float-vector dot product: sum over index order of
   * double-promoted elementwise products — bit-identical to the
   * `aggregate(zip_with(a, b, (x, y) -> double(x)*double(y)), 0d, +)` HOF
-  * chain (and to DuckDB's ordered list_sum), but inside whole-stage codegen
-  * with no per-row array materialization. Higher-order functions are
+  * chain (and to DuckDB's ordered list_sum) INCLUDING null semantics:
+  * mismatched lengths or a null element yield NULL, exactly as zip_with's
+  * null padding / null-product poisoning would. Higher-order functions are
   * CodegenFallback in Spark — on an all-pairs similarity join this
   * expression is the difference between interpreted and compiled inner
   * loops. Norm = sqrt(dot(a, a)).
@@ -66,15 +70,22 @@ case class FloatVecDot(left: Expression, right: Expression)
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "float_vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    NativeKernels.floatVecDot(
+    NativeKernels.floatVecDotOrNull(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeKernels.floatVecDot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.NativeKernels.floatVecDotOrNull($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatVecDot =
@@ -86,20 +97,32 @@ case class FloatVecDot(left: Expression, right: Expression)
   */
 object NativeKernels {
 
-  def floatVecDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
-      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Dot product with the HOF chain's null semantics: null when lengths
+    * differ (zip_with null padding) or any element is null (null product
+    * poisons the running sum). Null-slot probing is a bitset read on
+    * UnsafeArrayData — negligible next to the multiply-adds.
+    */
+  def floatVecDotOrNull(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
+  /** Whitespace class = RE2/DuckDB `\s` = [\t\n\f\r ]. Deliberately EXCLUDES
+    * \x0B (which Java's regex \s includes) so the kernel agrees byte-for-byte
+    * with the DuckDB `\S+` oracle; texts are vertical-tab-free in practice,
+    * and the oracle's class is the documented contract.
+    */
   @inline private def isWsByte(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    b == ' ' || b == '\t' || b == '\n' || b == '\f' || b == '\r'
 
   def wsTokenCount(s: UTF8String): Int = {
     if (s == null) return 0

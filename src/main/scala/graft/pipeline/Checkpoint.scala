@@ -27,6 +27,11 @@ trait SnapshotStore {
   def committedBuckets(): Set[Int]
   def commit(m: BucketManifest): Unit
   def readManifest(bucket: Int): Option[BucketManifest]
+
+  /** Revoke a bucket's commit (used by the crash sweep when its group's data
+    * dir had to be deleted: the bucket must reprocess). No-op if absent.
+    */
+  def revoke(bucket: Int): Unit
 }
 
 final class LocalManifestStore(outDir: String) extends SnapshotStore {
@@ -52,6 +57,9 @@ final class LocalManifestStore(outDir: String) extends SnapshotStore {
     Files.move(tmp, dir.resolve(s"bucket-${m.bucket}.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  override def revoke(bucket: Int): Unit =
+    Files.deleteIfExists(dir.resolve(s"bucket-$bucket.json"))
 
   override def readManifest(bucket: Int): Option[BucketManifest] = {
     val p = dir.resolve(s"bucket-$bucket.json")

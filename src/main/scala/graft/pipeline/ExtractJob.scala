@@ -65,7 +65,14 @@ object ExtractJob {
       tokenizer: SpanTokenizer.Config = SpanTokenizer.default,
       runId: String = "run",
       // test hook: simulate a crash after N commit groups
-      failAfterGroups: Option[Int] = None)
+      failAfterGroups: Option[Int] = None,
+      // test hook: simulate a crash after N BUCKET manifest commits — lands
+      // inside the per-bucket commit loop, the window the sweep's manifest
+      // revocation exists for
+      failAfterBucketCommits: Option[Int] = None)
+
+  /** Thrown by the failAfterBucketCommits test hook (simulated crash). */
+  final class SimulatedCrash extends RuntimeException("simulated crash")
 
   final case class RunStats(
       processedBuckets: Seq[Int],
@@ -99,30 +106,45 @@ object ExtractJob {
     * dir whose buckets are not ALL manifest-committed (a crash between the
     * group rename and its manifest writes leaves such a dir; its buckets will
     * be reprocessed, so the dir must go to keep output exactly-once).
+    *
+    * Crash WINDOW inside the per-bucket manifest loop: a group dir can exist
+    * with only SOME of its buckets committed. Deleting the dir alone would
+    * lose the committed buckets' rows forever (their manifests would still
+    * claim them done, so they'd never reprocess) — so sweeping a group dir
+    * also REVOKES the manifests of every bucket named in it, making the whole
+    * group reprocess. The group is thus the atomic commit unit; bucket
+    * manifests within a fully-present group remain the resume granularity.
+    * Returns the committed set after revocations.
     */
-  private def sweepUncommitted(outDir: String, committed: Set[Int]): Unit = {
+  private def sweepUncommitted(outDir: String, store: SnapshotStore,
+      committed: Set[Int]): Set[Int] = {
     val root = Paths.get(outDir)
-    if (!Files.isDirectory(root)) return
+    if (!Files.isDirectory(root)) return committed
     Files.list(root).iterator().asScala
       .filter(_.getFileName.toString.startsWith(".tmp-group-"))
       .foreach(deleteRecursively)
+    var alive = committed
     val dataDir = root.resolve("data")
-    if (!Files.isDirectory(dataDir)) return
+    if (!Files.isDirectory(dataDir)) return alive
     Files.list(dataDir).iterator().asScala
       .filter(_.getFileName.toString.startsWith("group="))
       .foreach { d =>
         val buckets = d.getFileName.toString.stripPrefix("group=")
           .split('-').flatMap(s => scala.util.Try(s.toInt).toOption)
-        if (!buckets.forall(committed.contains)) deleteRecursively(d)
+        if (!buckets.forall(committed.contains)) {
+          deleteRecursively(d)
+          buckets.foreach(store.revoke)
+          alive = alive -- buckets
+        }
       }
+    alive
   }
 
   def run(spark: SparkSession, docs: Dataset[Doc], outDir: String,
       cfg: Config = Config()): RunStats = {
     import spark.implicits._
     val store = new LocalManifestStore(outDir)
-    val committed = store.committedBuckets()
-    sweepUncommitted(outDir, committed)
+    val committed = sweepUncommitted(outDir, store, store.committedBuckets())
     val allBuckets = 0 until cfg.nBuckets
     val remaining = allBuckets.filterNot(committed.contains)
     if (remaining.isEmpty)
@@ -203,11 +225,13 @@ object ExtractJob {
           .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
           .toMap
         group.foreach { b =>
+          if (cfg.failAfterBucketCommits.exists(processed.length >= _))
+            throw new SimulatedCrash
           val (d, s, e) = perBucket.getOrElse(b, (0L, 0L, 0L))
           store.commit(BucketManifest(b, d, s, e, cfg.runId))
           totDocs += d; totSpans += s; totErrors += e
+          processed = processed :+ b
         }
-        processed = processed ++ group
       }
     }
     RunStats(processed, committed.toSeq.sorted, totDocs, totSpans, totErrors)

@@ -216,21 +216,41 @@ object ExtractionQ {
       .orderBy("doc_id", "media_ref")
   }
 
+  /** Slim (doc_id, suspicion, label) score table shared by x11 and x13:
+    * ONE default-pass and ONE pass-2 tokenization feed both the agreement
+    * label (x06 semantics) and the hallucination suspicion (x08 semantics),
+    * so the x-chain costs 2 kernel passes total — not the 5 a naive
+    * x13 -> x11 -> (x06 + x08) composition would re-run. Only ~24 bytes/doc
+    * survive the kernels, so callers persist this frame freely.
+    */
+  private def scoredAll(spark: SparkSession, dir: String): DataFrame = {
+    val scoreUdf = udf { (texts: Seq[String]) => Patterns.suspicionScore(texts) }
+    val p1 = extracted(spark, dir, SpanTokenizer.default)
+      .select(col("doc_id"), transform(col("spans"), s => s.getField("text")).as("t1"))
+    val p2 = extracted(spark, dir, SpanTokenizer.pass2)
+      .select(col("doc_id"), transform(col("spans"), s => s.getField("text")).as("t2"))
+    p1.join(p2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (size(array_intersect(coalesce(col("t1"), array()), coalesce(col("t2"), array())))
+          .cast("double") /
+          greatest(size(array_union(coalesce(col("t1"), array()),
+            coalesce(col("t2"), array()))), lit(1)).cast("double")).as("agreement_rate"),
+        scoreUdf(filter(coalesce(col("t1"), array()), t => length(t) > 0)).as("suspicion"))
+      .withColumn("label", (col("agreement_rate") > 0.9).cast("double"))
+  }
+
   /** Confidence calibration (calibration.py:139-326 semantics): isotonic
     * (PAV) + Platt + linear calibrators fit driver-side on a bounded sample
     * of (suspicion score, pass-agreement label) pairs, then applied row-wise
-    * (fit parameters broadcast by closure). At 10^12 docs the fit sample is
-    * a `limit(10k)` collect — the reference caps its calibration points the
-    * same way.
+    * (fit parameters broadcast by closure). The fit sample is DETERMINISTIC
+    * at any scale and parallelism: ordered by doc_id before the 10k cap, so
+    * the fitted params — and every downstream output — are run-independent
+    * (the reference caps its calibration points the same way).
     */
   def x11Calibration(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Calibration
-    val agree = x06Reconcile(spark, dir)
-      .select(col("doc_id"), (col("agreement_rate") > 0.9).cast("double").as("label"))
-    val scored = x08Suspicion(spark, dir)
-      .select(col("doc_id"), col("suspicion"))
-      .join(agree, "doc_id")
-    val sample = scored.limit(10000)
+    val scored = scoredAll(spark, dir).persist()
+    val sample = scored.orderBy("doc_id").limit(10000)
       .select(col("suspicion"), col("label"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
     val iso = Calibration.fitIsotonic(sample)
@@ -250,13 +270,19 @@ object ExtractionQ {
     * {complete, retry, human_review} from hallucination flag, calibrated
     * confidence level (high >= .85 / medium >= .5) and a deterministic
     * retry budget; flagged rows go to a review sink rather than a loop
-    * (batch semantics — SURVEY.md §2.5 routing row).
+    * (batch semantics — SURVEY.md §2.5 routing row). Confidence here is the
+    * reference's closed-form linear fallback calibrator (calibration.py
+    * linear: 0.85x + 0.05 clamped) applied to the raw confidence
+    * (1 - suspicion) — closed-form, so routing needs no fit collect and the
+    * whole ladder stays a column expression.
     */
   def x13Routing(spark: SparkSession, dir: String): DataFrame = {
-    val conf = x11Calibration(spark, dir)
-      .select(col("doc_id"), col("raw_score"), col("isotonic").as("confidence"))
-    val sus = x08Suspicion(spark, dir).select(col("doc_id"), col("is_likely_hallucination"))
-    conf.join(sus, "doc_id")
+    scoredAll(spark, dir)
+      .withColumn("confidence",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.85) * (lit(1.0) - col("suspicion")) + lit(0.05))))
+      .withColumn("is_likely_hallucination",
+        col("suspicion") >= Patterns.hallucinationThreshold)
       .withColumn("conf_level",
         when(col("confidence") >= 0.85, "high")
           .when(col("confidence") >= 0.5, "medium")

@@ -105,7 +105,13 @@ object Boilerplate {
 
   /** Fused tag-strip + entity-decode + whitespace-collapse (+ OCR cleanup
     * when `clean`): single pass, one output buffer. Equivalent to
-    * cleanOcrText(normalizeWhitespace(decodeEntities(tags -> " "))).
+    * cleanOcrText(normalizeWhitespace(decodeEntities(tags -> " "))) with ONE
+    * deliberate divergence: a zero-width char (U+200B..U+200D, U+FEFF)
+    * BETWEEN whitespace collapses to a single space ("a ​ b" -> "a b"),
+    * where the staged pipeline left the double space ("a  b") because the
+    * zero-width char split the whitespace run before cleanup removed it.
+    * The fused behavior is the intended one (zero-width chars are invisible,
+    * so they shouldn't preserve extra spacing); pinned by TokenizeSpec.
     */
   private def extractText(s: String, start: Int, end: Int, clean: Boolean): String = {
     val sb = new java.lang.StringBuilder(end - start)

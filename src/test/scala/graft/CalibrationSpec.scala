@@ -19,6 +19,20 @@ class CalibrationSpec extends AnyFunSuite {
     assert(mono(-1.0) == 0.0 && mono(2.0) == 1.0)
   }
 
+  test("pooled blocks are constant within their x-range (sklearn thresholds)") {
+    // (0,1),(1,0),(2,1): PAV pools the first two into a block spanning
+    // [0,1] with y=0.5 — the fit must hold 0.5 across the WHOLE block
+    // (sklearn keeps both boundary thresholds), then interpolate to (2,1).
+    val iso = Calibration.fitIsotonic(Seq((0.0, 1.0), (1.0, 0.0), (2.0, 1.0)))
+    assert(iso(0.0) == 0.5 && iso(0.5) == 0.5 && iso(1.0) == 0.5)
+    assert(iso(1.5) == 0.75 && iso(2.0) == 1.0)
+    // interior pooled block, same invariant
+    val iso2 = Calibration.fitIsotonic(
+      Seq((0.0, 0.0), (1.0, 0.8), (2.0, 0.2), (3.0, 1.0)))
+    assert(iso2(1.0) == 0.5 && iso2(1.7) == 0.5 && iso2(2.0) == 0.5)
+    assert(iso2(2.5) == 0.75)
+  }
+
   test("PAV output is monotone non-decreasing on arbitrary input") {
     val pts = (0 until 200).map { i =>
       val x = i / 200.0

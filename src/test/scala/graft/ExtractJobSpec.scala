@@ -79,6 +79,37 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(mDocs == nDocs)
   }
 
+  test("crash INSIDE the per-bucket commit loop loses no data on resume") {
+    // Window: group dir renamed into place, only some of its bucket
+    // manifests committed. The sweep must revoke those manifests along with
+    // the dir so the whole group reprocesses (exactly-once either way).
+    val out = Files.createTempDirectory("graft_midcrash").toString
+    val nDocs = 400
+    val cfg = ExtractJob.Config(nBuckets = 8, groupSize = 4, runId = "c1",
+      failAfterBucketCommits = Some(2))
+    intercept[ExtractJob.SimulatedCrash] {
+      ExtractJob.run(spark, docs(nDocs), out, cfg)
+    }
+    val store = new LocalManifestStore(out)
+    assert(store.committedBuckets().size == 2) // the torn group, half committed
+
+    val second = ExtractJob.run(spark, docs(nDocs), out,
+      cfg.copy(failAfterBucketCommits = None, runId = "c2"))
+    // the torn group's committed buckets were revoked -> everything reran
+    assert(second.skippedBuckets.isEmpty)
+    assert(second.processedBuckets.toSet == (0 until 8).toSet)
+    val data = spark.read.parquet(s"$out/data")
+    assert(data.count() == nDocs)
+    assert(data.groupBy("doc_id").count().filter("count > 1").count() == 0)
+    // manifests agree with the data after the recovery run
+    val perBucket = data.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { b =>
+      assert(store.readManifest(b).map(_.nDocs).contains(perBucket.getOrElse(b, 0L)))
+      assert(store.readManifest(b).exists(_.runId == "c2"))
+    }
+  }
+
   test("mega-docs are isolated onto their own partitions") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_skew").toString

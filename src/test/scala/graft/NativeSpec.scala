@@ -26,7 +26,7 @@ class NativeSpec extends AnyFunSuite {
     assert(NativeKernels.wsTokenCount(u("  \t\n ")) == 0)
     assert(NativeKernels.wsTokenCount(u(" héllo wörld ")) == 2)
     assert(NativeKernels.wsTokenCount(u("日本\u3000語")) == 1) // U+3000 is not regex-\s
-    assert(NativeKernels.wsTokenCount(u("a\u000Bb")) == 2) // VT is regex-\s
+    assert(NativeKernels.wsTokenCount(u("a\u000Bb")) == 1) // VT is NOT RE2-\s (oracle class)
     assert(NativeKernels.wsTokenCount(null) == 0)
   }
 
@@ -35,7 +35,12 @@ class NativeSpec extends AnyFunSuite {
     val df = Seq("one two three", "  lead", "trail  ", "", "多字节 字符 here x")
       .toDF("text")
     df.createOrReplaceTempView("t_native")
-    // extensions-injected SQL function
+    // Extensions-injected SQL function. spark.sql.extensions is a STATIC
+    // conf: if another suite's bare session won the shared-JVM getOrCreate
+    // race, the injection never ran — fall back to ensureRegistered (the
+    // documented bare-session route) so this test is order-independent.
+    if (!spark.catalog.functionExists("ws_token_count"))
+      NativeFunctions.ensureRegistered(spark)
     val viaSql = spark.sql(
       "SELECT text, ws_token_count(text) AS n FROM t_native").collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
@@ -91,6 +96,28 @@ class NativeSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec
         if w.toString.contains("float_vec_dot") => w
     }.nonEmpty)
+  }
+
+  test("float_vec_dot null semantics mirror the HOF chain") {
+    NativeFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(Option(1.0f), Option(2.0f))), Some(Array(Option(3.0f), Option(4.0f)))),
+      (Some(Array(Option(1.0f), None)), Some(Array(Option(3.0f), Option(4.0f)))), // null element
+      (Some(Array(Option(1.0f))), Some(Array(Option(3.0f), Option(4.0f)))),       // length mismatch
+      (None, Some(Array(Option(1.0f)))))                                          // null array
+      .toDF("a", "b")
+    val rows = df.select(
+      call_function("float_vec_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null disagreement: native=${r.get(0)} hof=${r.get(1)}")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
   }
 
   test("as-of join matches view at identical timestamp (inclusive) and none before") {

@@ -52,6 +52,18 @@ class TokenizeSpec extends AnyFunSuite {
     assert(main == Seq(("text", "Tom & Jerry ran far away together")))
   }
 
+  test("zero-width chars between whitespace collapse to one space (fused rule)") {
+    // documented divergence from the staged regex pipeline, which left
+    // "alpha  beta" (double space) here — see Boilerplate.extractText
+    val main = Boilerplate.mainContent(
+      "<p>alpha ​ beta gamma delta epsilon</p>")
+    assert(main == Seq(("text", "alpha beta gamma delta epsilon")))
+    // zero-width chars inside a word vanish without adding spacing
+    val inWord = Boilerplate.mainContent(
+      "<p>al﻿pha beta gamma delta epsilon</p>")
+    assert(inWord == Seq(("text", "alpha beta gamma delta epsilon")))
+  }
+
   test("golden span sequence for a mixed document") {
     val doc = Doc("doc_x", Seq(
       Span(SpanKind.Html,
