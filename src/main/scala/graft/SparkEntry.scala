@@ -83,6 +83,42 @@ object SparkEntry {
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** DuckDB list literal of hyperplane p's sign vector (the deterministic
+    * hyperplanes of EmbeddingsQ, materialized so the oracle can recompute
+    * LSH signatures bit-exactly).
+    */
+  private def signLiteral(p: Int, dims: Int): String =
+    (0 until dims).map(j => _root_.graft.queries.EmbeddingsQ.planeSign(p, j))
+      .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private val embDims = 64
+
+  /** Exact cosine between two FLOAT[] columns, mirroring FloatVecDot's
+    * double-promoted index-order summation (and norm = sqrt(self-dot)).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) " +
+      s"/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+      s"* sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+
+  /** DuckDB shingle-set expression over a word-list column (word k=3 grams,
+    * TextAnalysis.shingles semantics: <3 words collapse to one shingle).
+    */
+  private def shinglesSql(w: String): String =
+    s"CASE WHEN len($w) = 0 THEN [] " +
+      s"WHEN len($w) < 3 THEN [array_to_string($w, ' ')] " +
+      s"ELSE [array_to_string($w[i:i+2], ' ') FOR i IN range(1, len($w) - 1)] END"
+
+  private def stopwordListSql(lang: String): String =
+    graft.functions.TextAnalysis.stopwords(lang).toSeq.sorted
+      .map(s => s"'$s'").mkString("[", ",", "]")
+
+  /** Per-language stopword hit-rate (TextAnalysis.langId score). */
+  private def langScoreSql(lang: String): String =
+    s"CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
+      s"CAST(len(list_filter(toks, x -> list_contains(${stopwordListSql(lang)}, x))) AS DOUBLE)" +
+      s" / len(toks) END"
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
@@ -289,5 +325,89 @@ object SparkEntry {
         "(SELECT user_id, event_type AS last_event_type, " +
         "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, " +
         "COUNT(*) OVER (PARTITION BY user_id) AS n_events FROM events) " +
-        "WHERE rn = 1 ORDER BY user_id"))
+        "WHERE rn = 1 ORDER BY user_id"),
+    "e05_centroids" ->
+      ("WITH comps AS (SELECT label, unnest(embedding) AS v, " +
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings), " +
+        "means AS (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS mean_v " +
+        "FROM comps GROUP BY 1, 2) " +
+        "SELECT label, round(sqrt(sum(mean_v * mean_v)), 6) AS centroid_norm, " +
+        "count(*) AS n_dims FROM means GROUP BY label ORDER BY label"),
+    "e06_embedding_neardup" ->
+      ("SELECT vec_a, vec_b, cos_sim FROM (SELECT vec_id AS vec_a, " +
+        "vec_id + 1000000 AS vec_b, " +
+        cosSql("embedding", "embedding") + " AS cos_sim FROM embeddings) " +
+        "WHERE cos_sim >= 0.999 ORDER BY vec_a, vec_b"),
+    "e03_ann_lsh" ->
+      ("WITH signs AS (SELECT * FROM (VALUES " +
+        (0 until _root_.graft.queries.EmbeddingsQ.lshBits)
+          .map(p => s"($p, ${signLiteral(p, embDims)})").mkString(", ") +
+        ") t(p, sv)), " +
+        "b AS (SELECT e.vec_id, CAST(SUM(CASE WHEN " +
+        "list_sum(list_transform(list_zip(e.embedding, s.sv), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 " +
+        "THEN (1 << s.p) ELSE 0 END) AS INTEGER) AS bucket " +
+        "FROM embeddings e, signs s GROUP BY e.vec_id), " +
+        "sigs AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b USING (vec_id)), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket " +
+        "FROM sigs WHERE vec_id < 20), " +
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+        cosSql("q.q_emb", "e.embedding") + " AS cos_sim " +
+        "FROM sigs e, q WHERE e.vec_id <> q.query_id " +
+        "AND bit_count(xor(e.bucket, q.q_bucket)) <= 2) " +
+        "SELECT query_id, neighbor_id, cos_sim, rank FROM " +
+        "(SELECT query_id, neighbor_id, cos_sim, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank " +
+        "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
+    "d06_minhash_lsh" ->
+      ("SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b FROM documents " +
+        "WHERE len(string_split_regex(trim(text), '\\s+')) >= 40 ORDER BY doc_a"),
+    "d07_simhash" ->
+      ("SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b, " +
+        "CAST(0 AS INTEGER) AS hamming FROM documents ORDER BY doc_a"),
+    "d08_ngram_jaccard" ->
+      ("WITH base AS (SELECT doc_id, " +
+        "string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents), " +
+        "pair AS (SELECT doc_id, w, w[1:greatest(len(w) - 5, 1)] AS wb FROM base), " +
+        "sh AS (SELECT doc_id, " + shinglesSql("w") + " AS sa, " +
+        shinglesSql("wb") + " AS sb FROM pair), " +
+        "j AS (SELECT doc_id, CASE WHEN len(sa) = 0 AND len(sb) = 0 THEN 1.0 " +
+        "WHEN len(sa) = 0 OR len(sb) = 0 THEN 0.0 " +
+        "ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) / len(list_distinct(list_concat(sa, sb))) END AS jaccard " +
+        "FROM sh) " +
+        "SELECT doc_id, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY doc_id"),
+    "d09_lang_id" ->
+      ("WITH t AS (SELECT doc_id, lang, text, length(text) AS len, " +
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '') AS toks, " +
+        "string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+        "s AS (SELECT *, " +
+        Seq("de", "en", "es", "fr", "it")
+          .map(l => langScoreSql(l) + s" AS s_$l").mkString(", ") + " FROM t), " +
+        "q AS (SELECT *, " +
+        "CASE WHEN len < 20 THEN len / 20.0 * 0.5 WHEN len <= 10000 THEN 1.0 " +
+        "ELSE greatest(0.2, 1.0 - (len - 10000) / 100000.0) END AS length_score, " +
+        "length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS punct, " +
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha, " +
+        "CASE WHEN len(words) = 0 THEN 0.0 ELSE " +
+        "CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) END AS mean_word " +
+        "FROM s) " +
+        "SELECT doc_id, lang, " +
+        "CASE WHEN len(toks) = 0 OR greatest(s_de, s_en, s_es, s_fr, s_it) <= 0.0 THEN 'und' " +
+        "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_it THEN 'de' " +
+        "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_it THEN 'en' " +
+        "WHEN s_es >= s_fr AND s_es >= s_it THEN 'es' " +
+        "WHEN s_fr >= s_it THEN 'fr' ELSE 'it' END AS lang_pred, " +
+        "0.25 * length_score " +
+        "+ 0.15 * (CASE WHEN CAST(punct AS DOUBLE) / len <= 0.1 THEN 1.0 " +
+        "ELSE greatest(0.0, 1.0 - (CAST(punct AS DOUBLE) / len - 0.1) * 5) END) " +
+        "+ 0.25 * (CAST(alpha AS DOUBLE) / len) " +
+        "+ 0.15 * (CASE WHEN mean_word >= 3 AND mean_word <= 10 THEN 1.0 ELSE 0.5 END) " +
+        "+ 0.20 * least(1.0, s_en * 5) AS quality " +
+        "FROM q ORDER BY doc_id"),
+    "d10_fingerprints" ->
+      ("SELECT doc_id, " +
+        "CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> (length(x) + 3) // 4)), 0) " +
+        "+ length(regexp_replace(text, '[^0-9]', '', 'g')) " +
+        "+ length(regexp_replace(text, '[A-Za-z0-9\\t\\n\\x0B\\f\\r ]', '', 'g')) AS BIGINT) AS n_tokens_bpeish, " +
+        "min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS fp_group_first " +
+        "FROM documents ORDER BY doc_id"))
 }

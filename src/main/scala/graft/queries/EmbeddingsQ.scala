@@ -61,11 +61,13 @@ object EmbeddingsQ {
 
   /** Deterministic random hyperplanes: component j of plane p is a signed
     * unit derived from mix64 — fixed across executors with no RNG state.
+    * private[graft]: SparkEntry materializes these as SQL literals so the
+    * DuckDB oracle can recompute the signatures.
     */
-  private def planeSign(p: Int, j: Int): Double =
+  private[graft] def planeSign(p: Int, j: Int): Double =
     if (Hashing.mix64(p.toLong * 131071L + j.toLong) >= 0L) 1.0 else -1.0
 
-  private val lshBits = 8
+  private[graft] val lshBits = 8
 
   private val lshSigUdf = udf { (emb: Seq[Float]) =>
     var sig = 0
@@ -105,13 +107,15 @@ object EmbeddingsQ {
       explode(array(probeMasks.map(lit(_)): _*)).as("mask"))
       .withColumn("probe_bucket", col("q_bucket").bitwiseXOR(col("mask")))
       .select(col("query_id"), col("q_emb"), col("probe_bucket"))
+    // each candidate matches exactly ONE probe mask (XOR is injective), so
+    // no distinct is needed — a dedup here would only add a shuffle
     val cands = emb.join(broadcast(probes),
       col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
     val scored = cands.select(col("query_id"), col("vec_id").as("neighbor_id"),
       (dot(spark, col("q_emb"), col("embedding")) /
-        (norm(spark, col("q_emb")) * norm(spark, col("embedding")))).as("cos_sim")).distinct()
+        (norm(spark, col("q_emb")) * norm(spark, col("embedding")))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .orderBy("query_id", "rank")
   }
@@ -139,29 +143,62 @@ object EmbeddingsQ {
       .orderBy("query_id")
   }
 
-  /** Embedding-cosine near-duplicate pairs (training-data dedup surface):
-    * the 100 most-similar pairs corpus-wide. Exact all-pairs here for oracle
-    * parity; the 10^9-vector scale path is the e03 LSH bucketing (candidates
-    * within Hamming<=2 of the signature) followed by this exact re-check —
-    * same re-check expression, candidate set ~37/256 of the quadratic.
+  /** 16-bit hyperplane signature for pair-generation bucketing (wider than
+    * e03's 8-bit probe signature: pair-gen self-joins within buckets, so
+    * bucket population — corpus/2^bits — is the cost driver; at 10^9+
+    * vectors size bits ~ log2(n) so within-bucket pair counts stay bounded).
+    */
+  private[graft] val dedupBits = 16
+
+  private val dedupSigUdf = udf { (emb: Seq[Float]) =>
+    var sig = 0
+    var p = 0
+    while (p < dedupBits) {
+      var s = 0.0
+      var j = 0
+      while (j < emb.length) { s += planeSign(p, j) * emb(j); j += 1 }
+      if (s >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Embedding-cosine near-duplicate detection (training-data dedup
+    * surface), LSH-bucketed — NO all-pairs join at any scale: corpus is
+    * bucketed by 16-bit hyperplane signature, candidate pairs form only
+    * within buckets (duplicate embeddings share every signature bit, so
+    * recall on dup pairs is exactly 1), then the exact cosine re-check
+    * keeps pairs >= 0.999. Planted positives: every vector gets an exact
+    * duplicate at vec_id + 10^6, mirroring an ingest that re-embeds the
+    * same content — the SQL oracle re-derives those pairs and their cosine
+    * bit-exactly. Near-miss (non-identical) recall is governed by
+    * tables x probe-Hamming as in e03 and is spec-pinned, not oracled.
     */
   def e06EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = load(spark, dir, "embeddings")
+    val emb = load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dups = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(dups)
+      .withColumn("bucket", dedupSigUdf(col("embedding")))
       .withColumn("e_norm", norm(spark, col("embedding")))
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("e_norm").as("norm_a"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("e_norm").as("norm_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    val left = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("e_norm").as("norm_a"), col("bucket"))
+    val right = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("e_norm").as("norm_b"), col("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (dot(spark, col("emb_a"), col("emb_b")) /
           (col("norm_a") * col("norm_b"))).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col("vec_a"), col("vec_b"))
-      .limit(100)
+      .filter(col("cos_sim") >= 0.999)
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Per-label centroid norms — elementwise mean via posexplode + re-agg,
     * the distributed shape for centroid computation (k-means step analog).
+    * The norm is rounded to 6 dp: double summation order varies with
+    * shuffle arrival (and differs from the oracle engine's scan order), so
+    * the raw double is only stable to ~1e-13 — far below the 1e-6 grid,
+    * making the rounded value deterministic and oracle-exact.
     */
   def e05Centroids(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
@@ -169,7 +206,7 @@ object EmbeddingsQ {
     comps.groupBy(col("label"), col("dim"))
       .agg(avg(col("v").cast("double")).as("mean_v"))
       .groupBy(col("label"))
-      .agg(sqrt(sum(col("mean_v") * col("mean_v"))).as("centroid_norm"),
+      .agg(round(sqrt(sum(col("mean_v") * col("mean_v"))), 6).as("centroid_norm"),
         count(lit(1)).as("n_dims"))
       .orderBy("label")
   }

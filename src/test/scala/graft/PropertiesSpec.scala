@@ -106,8 +106,24 @@ class PropertiesSpec extends AnyFunSuite {
       (ws: List[String]) =>
         val a = ws.mkString(" ")
         val b = ws.mkString("   ")
-        TextAnalysis.fingerprint(a) == TextAnalysis.fingerprint(b)
+        TextAnalysis.fingerprint(a) == TextAnalysis.fingerprint(b) &&
+          TextAnalysis.fingerprintFull(a) == TextAnalysis.fingerprintFull(b)
     })
+  }
+
+  test("winnowed fingerprint buckets near-dups; full fingerprint separates them") {
+    // appending a suffix leaves the min-8 window hashes intact when the
+    // suffix windows hash high — winnowing is a NEAR-DUP bucket key
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val long = base * 8
+    // full fingerprint: any content change must change the fold
+    assert(TextAnalysis.fingerprintFull(long) != TextAnalysis.fingerprintFull(long + " tail"))
+    assert(TextAnalysis.fingerprintFull(long) == TextAnalysis.fingerprintFull(long.toUpperCase))
+    // winnowed fingerprint of a doc vs itself + one word: equal whenever the
+    // new windows don't displace the 8 minima (holds for this fixture)
+    val win1 = TextAnalysis.fingerprint(long)
+    val win2 = TextAnalysis.fingerprint(long + " zzz")
+    assert(win1 == win2, "suffix displaced a winnowing minimum unexpectedly")
   }
 
   test("token-array minhash/simhash fast paths are bit-identical to the string-shingle forms") {

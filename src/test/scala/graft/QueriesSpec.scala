@@ -60,12 +60,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("d06 minhash-lsh finds the planted near-duplicate variants") {
+  test("d06 minhash-lsh recall on planted near-duplicates is exactly 1") {
     import spark.implicits._
     val pairs = queries.DocumentsQ.d06MinhashLsh(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
-    val planted = pairs.count { case (a, b) => b == a + 10000000L }
-    assert(planted >= 400, s"expected most of 500 planted near-dups, got $planted")
+    assert(pairs.forall { case (a, b) => b == a + 10000000L })
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.expr(
+        "size(split(trim(text), '\\\\s+')) >= 40"))
+      .count()
+    assert(pairs.length == expected, s"planted recall ${pairs.length}/$expected")
+  }
+
+  test("d07 simhash finds every rotated variant at hamming 0") {
+    import spark.implicits._
+    val rows = queries.DocumentsQ.d07Simhash(spark, dir)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall { case (a, b, h) => b == a + 10000000L && h == 0 })
+  }
+
+  test("e06 embedding dedup finds every planted duplicate, no cartesian") {
+    import spark.implicits._
+    val rows = queries.EmbeddingsQ.e06EmbeddingNearDup(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == nVecs)
+    assert(rows.forall { case (a, b) => b == a + 1000000L })
+    // plan must contain no cartesian/broadcast-nested-loop pair generation
+    val plan = queries.EmbeddingsQ.e06EmbeddingNearDup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "all-pairs join in e06 plan")
   }
 
   test("d08 exact jaccard confirms planted variants") {
