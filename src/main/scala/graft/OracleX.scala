@@ -1,0 +1,272 @@
+package graft
+
+/** DuckDB oracle SQL for the extraction-pipeline (x*) queries.
+  *
+  * The extraction input is synthesized from the `documents` table by
+  * deterministic ARITHMETIC on the numeric doc id (graft.tokenize.DocGen),
+  * so every extracted span is re-derivable in SQL: these builders
+  * reconstruct the full ordered span list per document — HTML boilerplate
+  * classification (chrome tags, link-density, min-words), pdf block split +
+  * heading rule, table-cell grid, EDI segmentation, media stubs and the
+  * mega-doc tail — and express each x-query over that reconstruction. This
+  * makes the north-rule invariant (span-sequence equality on
+  * (kind, text, media_ref, order)) a machine-checked CORRECTNESS row, not
+  * just a spec golden. Formulas mirror DocGen/SpanTokenizer/Boilerplate;
+  * keep in sync (x-oracle rows in CORRECTNESS will fail loudly if not).
+  *
+  * DuckDB 1.0 notes: list_concat is binary (chains use ||), `offset` is
+  * reserved (quoted), list comprehensions [expr FOR x IN list IF cond] and
+  * two-arg lambdas (s, i) are used throughout.
+  */
+object OracleX {
+
+  private val SpanT = "STRUCT(kind VARCHAR, \"text\" VARCHAR, media_ref VARCHAR)[]"
+
+  /** pdfPayload(V) -> expanded spans (heading rule: <=60 chars). Empty V -> []. */
+  private def pdfSpans(v: String): String = {
+    val head = s"upper(array_to_string($v[1:4], ' '))"
+    s"CASE WHEN len($v) = 0 THEN CAST([] AS $SpanT) ELSE list_concat(" +
+      s"[{'kind': CASE WHEN length($head) <= 60 THEN 'heading' ELSE 'text' END, " +
+      s"'text': $head, 'media_ref': ''}], " +
+      s"[{'kind': 'text', 'text': array_to_string($v[i:least(i+14, len($v))], ' ') || '.', 'media_ref': ''} " +
+      s"FOR i IN range(5, len($v) + 1, 15)]) END"
+  }
+
+  /** HTML main-content spans: h1 heading + 12-word paragraph chunks kept at
+    * the given min-words floor (Boilerplate link-density drops the nav /
+    * read-more / footer blocks of the fixed htmlPayload shape).
+    */
+  private def htmlSpans(minWords: Int): String =
+    "list_concat(" +
+      "[{'kind': 'heading', 'text': array_to_string(w[1:3], ' '), 'media_ref': ''}], " +
+      "[{'kind': 'text', 'text': array_to_string(w[i:least(i+11, n)], ' '), 'media_ref': ''} " +
+      s"FOR i IN range(4, n + 1, 12) IF least(i+11, n) - i + 1 >= $minWords])"
+
+  private def mediaRefSql(iExpr: String): String =
+    s"'s3://graft-corpus/media/' || CAST((id*131 + ($iExpr)*7) % 1000 AS VARCHAR) " +
+      s"|| '/' || did || '_' || CAST(($iExpr) AS VARCHAR) || '.png'"
+
+  private def amtStr(cents: String): String =
+    s"'$$' || CAST(($cents) // 100 AS VARCHAR) || '.' || " +
+      s"lpad(CAST(($cents) % 100 AS VARCHAR), 2, '0')"
+
+  private val tableCells: String =
+    "list_concat(flatten([ [ " +
+      "{'kind':'table_cell','text': items[i+1], 'media_ref': ''}, " +
+      "{'kind':'table_cell','text': CAST(qs[i+1] AS VARCHAR), 'media_ref': ''}, " +
+      s"{'kind':'table_cell','text': ${amtStr("amts[i+1]")}, 'media_ref': ''} ] " +
+      "FOR i IN range(0, len(items)) ]), " +
+      "[ {'kind':'table_cell','text':'total','media_ref':''}, " +
+      "{'kind':'table_cell','text': CAST(list_sum(qs) AS VARCHAR),'media_ref':''}, " +
+      s"{'kind':'table_cell','text': ${amtStr("list_sum(amts)")},'media_ref':''} ])"
+
+  private val edi: String =
+    "[ {'kind':'text','text':'ISA*00*' || CAST((id*1009 + 7) % 1000000000 AS VARCHAR),'media_ref':''}, " +
+      "{'kind':'text','text':'GS*HP*SENDER*RECEIVER','media_ref':''}, " +
+      "{'kind':'text','text':'CLP*' || did || '*1*150.00*120.00','media_ref':''}, " +
+      "{'kind':'text','text':'SE*4*0001','media_ref':''} ]"
+
+  /** Shared reconstruction CTE prefix. passes: html min-words per span
+    * column (3 -> `spans` = tokenizer default; 2 -> `spans2` = pass2).
+    */
+  private def recon(passes: Seq[Int] = Seq(3)): String = {
+    val spanCols = passes.map { mw =>
+      val name = if (mw == 3) "spans" else "spans2"
+      s"(${htmlSpans(mw)} " +
+        s"|| CASE WHEN mix <= 3 THEN ${pdfSpans("wp")} ELSE CAST([] AS $SpanT) END " +
+        s"|| CASE WHEN mix % 2 = 0 THEN $tableCells ELSE CAST([] AS $SpanT) END " +
+        s"|| CASE WHEN mix % 3 = 0 THEN [{'kind':'figure','text':'','media_ref': ${mediaRefSql("0")}}] ELSE CAST([] AS $SpanT) END " +
+        s"|| CASE WHEN mix = 5 THEN $edi ELSE CAST([] AS $SpanT) END " +
+        s"|| CASE WHEN id % 997 = 0 THEN flatten([ (${pdfSpans("w")} " +
+        s"|| CASE WHEN i % 10 = 0 THEN [{'kind':'figure','text':'','media_ref': ${mediaRefSql("i + 1")}}] ELSE CAST([] AS $SpanT) END) " +
+        s"FOR i IN range(0, 100) ]) ELSE CAST([] AS $SpanT) END" +
+        s") AS $name"
+    }
+    "WITH d0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did, doc_id % 6 AS mix, " +
+      "CASE WHEN length(trim(text)) = 0 THEN ['empty','document','body'] " +
+      "ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents), " +
+      "d1 AS (SELECT id, did, mix, w, len(w) AS n, w[6:len(w)] AS wp, " +
+      "CASE WHEN len(w) >= 4 THEN w[1:4] WHEN len(w) >= 2 THEN w[1:len(w)] " +
+      "ELSE list_concat(w[1:1], ['item']) END AS items FROM d0), " +
+      "d2 AS (SELECT *, [(id*31 + i*17) % 9 + 1 FOR i IN range(0, len(items))] AS qs, " +
+      "[(id*97 + i*57) % 90000 + 100 FOR i IN range(0, len(items))] AS amts FROM d1), " +
+      "recon AS (SELECT id, did, mix, w, n, items, qs, amts, " +
+      spanCols.mkString(", ") + " FROM d2)"
+  }
+
+  val x01: String = recon() +
+    ", ex AS (SELECT did, unnest(list_transform(spans, (s, i) -> " +
+    "{'o': i - 1, 'k': s.kind, 't': s.\"text\", 'm': s.media_ref})) AS s FROM recon) " +
+    "SELECT did AS doc_id, CAST(s.o AS INT) AS \"offset\", s.k AS kind, s.t AS text, " +
+    "s.m AS media_ref FROM ex ORDER BY doc_id, s.o"
+
+  val x02: String = recon() +
+    ", ex AS (SELECT unnest(spans) AS s FROM recon) " +
+    "SELECT s.kind AS kind, count(*) AS n_spans, " +
+    "CAST(sum(length(s.\"text\")) AS BIGINT) AS sum_chars FROM ex GROUP BY 1 ORDER BY 1"
+
+  /** Media (shard, index) pairs per doc, in raw-span order. */
+  private val mediaNums: String =
+    "CASE WHEN mix % 3 = 0 THEN [{'s': (id*131) % 1000, 'i': 0}] ELSE CAST([] AS STRUCT(s BIGINT, i BIGINT)[]) END || " +
+      "CASE WHEN id % 997 = 0 THEN [{'s': (id*131 + (i+1)*7) % 1000, 'i': CAST(i + 1 AS BIGINT)} FOR i IN range(0, 100) IF i % 10 = 0] " +
+      "ELSE CAST([] AS STRUCT(s BIGINT, i BIGINT)[]) END"
+
+  /** SpanTokenizer.fakeDecodeQuality + Model.qualityScore over a media
+    * struct x = {s: shard, i: index} (exact IEEE mirror).
+    */
+  private def qScore(x: String): String =
+    s"0.4 * least(100.0, CAST(($x.s*97 + $x.i*31) % 1000 AS DOUBLE) / 5.0) " +
+      s"+ 0.3 * least(100.0, CAST(($x.s*29 + $x.i*7) % 128 AS DOUBLE) * (100.0/64.0)) " +
+      s"+ 0.3 * (100.0 - abs(CAST(($x.s*53 + $x.i*11) % 256 AS DOUBLE) - 128.0) * (100.0/128.0))"
+
+  /** Per-doc modality/fax aggregates over the media list + word totals. */
+  private val modalityAggs: String =
+    s", m AS (SELECT id, did, mix, spans, $mediaNums AS media FROM recon), " +
+      "f AS (SELECT id, did, mix, spans, media, len(media) AS n_media, " +
+      "len(list_filter(media, x -> (x.s*29 + x.i*7) % 128 < 30)) AS low_cnt, " +
+      "CASE WHEN len(media) = 0 THEN 0.0 ELSE list_sum(list_transform(media, x -> CAST((x.s*97 + x.i*31) % 1000 AS DOUBLE))) / greatest(len(media), 1) END AS avg_blur, " +
+      s"CASE WHEN len(media) = 0 THEN 0.0 ELSE list_sum(list_transform(media, x -> ${qScore("x")})) / greatest(len(media), 1) END AS avg_q, " +
+      "coalesce(list_sum(list_transform(list_filter(spans, s -> s.kind IN ('text', 'heading')), " +
+      "s -> length(s.\"text\") - length(replace(s.\"text\", ' ', '')) + 1)), 0) AS total_words " +
+      "FROM m)"
+
+  private val isFax: String =
+    "(n_media > 0 AND low_cnt >= greatest(1, n_media // 2) AND avg_blur < 150 AND avg_q < 50)"
+
+  val x03: String = recon() + modalityAggs +
+    " SELECT did AS doc_id, array_to_string(list_sort(['printed'] " +
+    "|| CASE WHEN mix % 2 = 0 THEN ['table'] ELSE CAST([] AS VARCHAR[]) END " +
+    "|| CASE WHEN total_words < 50 AND NOT (mix % 2 = 0) THEN ['visual'] ELSE CAST([] AS VARCHAR[]) END " +
+    s"|| CASE WHEN $isFax THEN ['fax'] ELSE CAST([] AS VARCHAR[]) END), ',') AS modalities, " +
+    "CAST(len(spans) AS INT) AS n_spans, CAST(0 AS INT) AS n_errors, " +
+    "'tokenize:v1' AS extraction_path FROM f ORDER BY doc_id"
+
+  val x04: String = recon() +
+    ", rows0 AS (SELECT did, CAST(CASE WHEN mix <= 3 THEN 2 ELSE 1 END AS INT) AS span_offset, " +
+    s"list_concat(['amount=' || ${amtStr("amts[i+1]")} || '|item=' || items[i+1] || '|qty=' || CAST(qs[i+1] AS VARCHAR) " +
+    "FOR i IN range(0, len(items))], " +
+    s"['amount=' || ${amtStr("list_sum(amts)")} || '|item=total|qty=' || CAST(list_sum(qs) AS VARCHAR)]) AS kvs " +
+    "FROM recon WHERE mix % 2 = 0), " +
+    "ex AS (SELECT did, span_offset, unnest(list_transform(kvs, (kv, i) -> {'i': i - 1, 'kv': kv})) AS r FROM rows0) " +
+    "SELECT did AS doc_id, span_offset, CAST(r.i AS INT) AS row_idx, r.kv AS row_kv " +
+    "FROM ex ORDER BY doc_id, span_offset, row_idx"
+
+  val x05: String = recon() + modalityAggs +
+    s", g AS (SELECT did, media, $isFax AS is_fax, " +
+    "(total_words < 50 AND NOT (mix % 2 = 0)) AS is_visual FROM f WHERE len(media) > 0), " +
+    "ex AS (SELECT did, is_fax, is_visual, unnest(media) AS x FROM g) " +
+    "SELECT did AS doc_id, " +
+    "'s3://graft-corpus/media/' || CAST(x.s AS VARCHAR) || '/' || did || '_' || CAST(x.i AS VARCHAR) || '.png' AS media_ref, " +
+    "CAST((x.s*97 + x.i*31) % 1000 AS DOUBLE) AS blur_score, " +
+    "CAST((x.s*53 + x.i*11) % 256 AS DOUBLE) AS brightness, " +
+    "CAST((x.s*29 + x.i*7) % 128 AS DOUBLE) AS contrast, " +
+    s"${qScore("x")} AS quality_score, " +
+    "((x.s*29 + x.i*7) % 128 < 30) AS low_contrast, " +
+    "CASE WHEN is_fax THEN 'deskew+otsu+open+despeckle' WHEN is_visual THEN 'deskew' " +
+    "ELSE 'deskew+denoise+clahe' END AS enhancement_plan " +
+    "FROM ex ORDER BY doc_id, media_ref"
+
+  val x06: String = recon(Seq(3, 2)) +
+    ", t AS (SELECT did, CAST(len(spans) AS INT) AS n_spans_1, CAST(len(spans2) AS INT) AS n_spans_2, " +
+    "list_transform(spans, s -> s.\"text\") AS t1, list_transform(spans2, s -> s.\"text\") AS t2 FROM recon) " +
+    "SELECT did AS doc_id, n_spans_1, n_spans_2, " +
+    "CAST(len(list_intersect(t1, t2)) AS INT) AS n_agree, " +
+    "CAST(len(list_intersect(t1, t2)) AS DOUBLE) / CAST(greatest(len(list_distinct(list_concat(t1, t2))), 1) AS DOUBLE) AS agreement_rate " +
+    "FROM t ORDER BY doc_id"
+
+  val x07: String = recon(Seq(3, 2)) +
+    ", t AS (SELECT did, len(spans) AS n1, len(spans2) AS n2, " +
+    "len(list_intersect(list_transform(spans, s -> s.\"text\"), list_transform(spans2, s -> s.\"text\"))) AS agree FROM recon), " +
+    "per AS (SELECT agree AS tp, greatest(n2 - agree, 0) AS fp, greatest(n1 - agree, 0) AS fn, " +
+    "CASE WHEN agree * 2 + greatest(n2 - agree, 0) + greatest(n1 - agree, 0) = 0 THEN 1.0 " +
+    "ELSE CAST(agree AS DOUBLE) * 2 / (agree * 2 + greatest(n2 - agree, 0) + greatest(n1 - agree, 0)) END AS doc_f1 FROM t) " +
+    "SELECT CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp, CAST(sum(fn) AS BIGINT) AS fn, " +
+    "round(avg(doc_f1), 6) AS macro_f1, count(*) AS n_docs, " +
+    "CAST(sum(tp) AS DOUBLE) * 2 / (sum(tp) * 2 + sum(fp) + sum(fn)) AS micro_f1 FROM per"
+
+  // ---- hallucination pattern mirrors (functions/Patterns.scala) ----
+  // RE2 has no backreferences: repeated-digit runs are the 10 explicit
+  // alternatives instead of (\d)\1{4,}.
+  private val placeholderAlt =
+    "n/?a|tbd|xxx+|placeholder|unknown|not\\s*applicable|not\\s*available|none|null|" +
+      "undefined|to\\s*be\\s*determined|pending|missing|\\[.*\\]|<.*>|_+|\\*+|\\.{3,}"
+  private val testDataAlt =
+    "test\\s*\\d*|sample\\s*\\d*|demo\\s*\\d*|example\\s*\\d*|dummy\\s*\\d*|mock\\s*\\d*|fake\\s*\\d*"
+  private val repeatedAlt = (0 to 9).map(d => s"$d{5}").mkString("|")
+  private def sqlStrSet(xs: Iterable[String]): String =
+    xs.toSeq.sorted.map(s => s"'$s'").mkString("[", ",", "]")
+
+  /** Severity-weighted per-span suspicion weight (Patterns.fieldFlags order:
+    * critical 0.8, generic-name/address 0.5, test-data 0.5, repeated 0.3,
+    * sequential 0.3 — summed left to right like the Scala fold).
+    */
+  private def spanWeight(t: String, ds: String): String =
+    s"(CASE WHEN regexp_matches(trim($t), '(?i)^($placeholderAlt)$$') THEN 0.8 ELSE 0.0 END " +
+      s"+ CASE WHEN list_contains(${sqlStrSet(graft.functions.Patterns.genericNames)}, trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))) " +
+      s"OR list_contains(${sqlStrSet(graft.functions.Patterns.genericAddresses)}, trim(regexp_replace(lower($t), '\\s+', ' ', 'g'))) THEN 0.5 ELSE 0.0 END " +
+      s"+ CASE WHEN regexp_matches(trim($t), '(?i)^($testDataAlt)$$') THEN 0.5 ELSE 0.0 END " +
+      s"+ CASE WHEN regexp_matches($t, '$repeatedAlt') THEN 0.3 ELSE 0.0 END " +
+      s"+ CASE WHEN length($ds) >= 5 AND length($ds) = length(trim($t)) AND " +
+      s"(len(list_filter(range(1, length($ds)), k -> CAST($ds[k+1] AS INT) - CAST($ds[k] AS INT) = 1)) = length($ds) - 1 " +
+      s"OR len(list_filter(range(1, length($ds)), k -> CAST($ds[k] AS INT) - CAST($ds[k+1] AS INT) = 1)) = length($ds) - 1) " +
+      "THEN 0.3 ELSE 0.0 END)"
+
+  private val suspicion: String =
+    "coalesce(list_sum(list_transform(list_filter(list_transform(spans, s -> s.\"text\"), t -> length(t) > 0), " +
+      s"t -> ${spanWeight("t", "regexp_replace(t, '[^0-9]', '', 'g')")})), 0.0)"
+
+  val x08: String = recon() +
+    s", sc AS (SELECT did, least(1.0, $suspicion) AS suspicion FROM recon) " +
+    "SELECT did AS doc_id, suspicion, suspicion >= 0.7 AS is_likely_hallucination " +
+    "FROM sc ORDER BY doc_id"
+
+  val x09: String = recon() +
+    ", t AS (SELECT did, CAST(CASE WHEN mix <= 3 THEN 2 ELSE 1 END AS INT) AS span_offset, " +
+    "list_sum(amts) AS parts_cents FROM recon WHERE mix % 2 = 0) " +
+    "SELECT did AS doc_id, span_offset, CAST(parts_cents AS DOUBLE) / 100.0 AS parts_sum, " +
+    "CAST(parts_cents AS DOUBLE) / 100.0 AS total_cell, " +
+    "abs(parts_cents - parts_cents) <= 1 AS sum_ok FROM t ORDER BY doc_id, span_offset"
+
+  val x10: String = recon() +
+    ", cells AS (SELECT did, unnest(list_transform(list_filter(spans, s -> s.kind = 'table_cell'), s -> s.\"text\")) AS c FROM recon) " +
+    "SELECT CASE WHEN trim(c) = '' THEN 'empty' " +
+    "WHEN regexp_matches(trim(c), '^[0-9]{5}$') THEN 'code5' " +
+    "WHEN regexp_matches(c, '[$£€¥]') THEN 'currency' " +
+    "WHEN regexp_matches(trim(c), '^[0-9]+(\\.[0-9]+)?$') THEN 'number' " +
+    "ELSE 'text' END AS cell_type, count(*) AS n_cells, count(DISTINCT did) AS n_docs " +
+    "FROM cells GROUP BY 1 ORDER BY 1"
+
+  val x12: String = recon() +
+    s", m AS (SELECT id, did, unnest($mediaNums) AS x FROM recon), " +
+    "meta AS (SELECT did, x.s AS s, x.i AS i, " +
+    "'s3://graft-corpus/media/' || CAST(x.s AS VARCHAR) || '/' || did || '_' || CAST(x.i AS VARCHAR) || '.png' AS media_ref, " +
+    "CASE (x.s + x.i) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' WHEN 2 THEN 'tiff' ELSE 'mp4' END AS format, " +
+    "CAST(320 + (x.s*17 + x.i*41) % 3777 AS INT) AS width, " +
+    "CAST(240 + (x.s*23 + x.i*13) % 2921 AS INT) AS height FROM m), " +
+    "meta2 AS (SELECT *, CASE WHEN format = 'mp4' THEN CAST(30 + (s*7 + i) % 3571 AS INT) ELSE 1 END AS n_frames, " +
+    "CASE WHEN width <= 224 AND height <= 224 THEN width WHEN width >= height THEN 224 " +
+    "ELSE greatest(1, CAST(round(CAST(width AS DOUBLE) * 224 / height, 0) AS INT)) END AS resize_w, " +
+    "CASE WHEN width <= 224 AND height <= 224 THEN height WHEN width >= height " +
+    "THEN greatest(1, CAST(round(CAST(height AS DOUBLE) * 224 / width, 0) AS INT)) ELSE 224 END AS resize_h FROM meta) " +
+    "SELECT did AS doc_id, media_ref, format, width, height, resize_w, resize_h, n_frames, " +
+    "array_to_string(CASE WHEN n_frames <= 8 THEN [CAST(k AS VARCHAR) FOR k IN range(0, n_frames)] " +
+    "ELSE [CAST((k * n_frames) // 8 AS VARCHAR) FOR k IN range(0, 8)] END, ',') AS sampled_frames " +
+    "FROM meta2 ORDER BY doc_id, media_ref"
+
+  val x13: String = recon() +
+    s", sc AS (SELECT id, did, least(1.0, $suspicion) AS suspicion FROM recon), " +
+    "c AS (SELECT id, did, suspicion, least(1.0, greatest(0.0, 0.85 * (1.0 - suspicion) + 0.05)) AS confidence FROM sc), " +
+    "r AS (SELECT id, did, suspicion, confidence, " +
+    "CASE WHEN confidence >= 0.85 THEN 'high' WHEN confidence >= 0.5 THEN 'medium' ELSE 'low' END AS conf_level, " +
+    "id % 3 > 0 AS retries_left, suspicion >= 0.7 AS is_likely_hallucination FROM c) " +
+    "SELECT did AS doc_id, confidence, conf_level, is_likely_hallucination, retries_left, " +
+    "CASE WHEN is_likely_hallucination THEN 'human_review' WHEN conf_level = 'high' THEN 'complete' " +
+    "WHEN conf_level = 'medium' AND retries_left THEN 'retry' ELSE 'human_review' END AS route " +
+    "FROM r ORDER BY doc_id"
+
+  val all: Map[String, String] = Map(
+    "x01_spans" -> x01, "x02_span_stats" -> x02, "x03_modality" -> x03,
+    "x04_table_rows" -> x04, "x05_media_quality" -> x05, "x06_reconcile" -> x06,
+    "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,
+    "x10_code_validation" -> x10, "x12_media_pipeline" -> x12, "x13_routing" -> x13)
+}

@@ -409,5 +409,5 @@ object SparkEntry {
         "+ length(regexp_replace(text, '[^0-9]', '', 'g')) " +
         "+ length(regexp_replace(text, '[A-Za-z0-9\\t\\n\\x0B\\f\\r ]', '', 'g')) AS BIGINT) AS n_tokens_bpeish, " +
         "min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS fp_group_first " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id")) ++ OracleX.all
 }

@@ -9,19 +9,30 @@ import graft.model.{Doc, Span, SpanKind}
   * always produces the same raw spans at any scale factor and any
   * parallelism. Used to derive the extraction input from the driver-provided
   * `documents` table and to generate standalone bench corpora.
+  *
+  * All STRUCTURAL choices (payload mix, table quantities/amounts, media
+  * shards, EDI control numbers, mega factor) are simple arithmetic on the
+  * NUMERIC doc id — deliberately SQL-expressible, so the DuckDB oracle can
+  * re-derive every extracted span from the `documents` table alone and the
+  * driver machine-checks span-sequence equality end-to-end (the north-rule
+  * invariant). graft.OracleX mirrors these formulas; keep them in sync.
   */
 object DocGen {
 
-  /** Deterministic pseudo-random stream from a key. */
+  /** Deterministic pseudo-random stream from a key (free-text synthesis in
+    * syntheticDoc only — never for structure the oracle must re-derive).
+    */
   private def h(key: String, salt: Int): Long = Hashing.seededHash(Hashing.fnv1a64(key), salt)
 
   private def chunk(words: IndexedSeq[String], size: Int): Seq[Seq[String]] =
     if (words.isEmpty) Seq.empty else words.grouped(size).toSeq
 
+  def docIdStr(id: Long): String = f"doc_$id%09d"
+
   /** Build an HTML raw span: nav/footer boilerplate around real paragraphs
     * with a heading — exercises the text-density + link-density classifier.
     */
-  def htmlPayload(docId: String, words: IndexedSeq[String]): String = {
+  def htmlPayload(words: IndexedSeq[String]): String = {
     val title = words.take(3).mkString(" ")
     val paras = chunk(words.drop(3), 12)
       .map(ws => s"<p>${ws.mkString(" ")}</p>").mkString
@@ -38,15 +49,17 @@ object DocGen {
     (heading +: paras).mkString("\n\n")
   }
 
+  /** Table quantity/amount formulas — id arithmetic (OracleX mirrors). */
+  def tableQty(id: Long, i: Int): Int = ((id * 31 + i * 17) % 9 + 1).toInt
+  def tableAmtCents(id: Long, i: Int): Int = ((id * 97 + i * 57) % 90000 + 100).toInt
+
   /** Build a table_raw grid: header, separator, data rows with deterministic
     * quantities/amounts, and a total row.
     */
-  def tablePayload(docId: String, words: IndexedSeq[String]): String = {
+  def tablePayload(id: Long, words: IndexedSeq[String]): String = {
     val items = words.take(4).padTo(2, "item")
     val rows = items.zipWithIndex.map { case (w, i) =>
-      val qty = (math.abs(h(docId, 100 + i)) % 9 + 1).toInt
-      val amt = (math.abs(h(docId, 200 + i)) % 90000 + 100).toInt
-      (w, qty, amt)
+      (w, tableQty(id, i), tableAmtCents(id, i))
     }
     val totalQty = rows.map(_._2).sum
     val totalAmt = rows.map(_._3).sum
@@ -55,24 +68,23 @@ object DocGen {
       f"T:total|$totalQty|$$${totalAmt / 100}%d.${totalAmt % 100}%02d").mkString("\n")
   }
 
-  def mediaRef(docId: String, i: Int): String = {
-    val shard = math.abs(h(docId, 300 + i)) % 1000
-    s"s3://graft-corpus/media/$shard/${docId}_$i.png"
-  }
+  def mediaShard(id: Long, i: Int): Long = (id * 131 + i * 7) % 1000
 
-  def ediPayload(docId: String): String = {
-    val ctl = math.abs(h(docId, 400)) % 1000000000L
-    s"ISA*00*$ctl~GS*HP*SENDER*RECEIVER~CLP*$docId*1*150.00*120.00~SE*4*0001~"
-  }
+  def mediaRef(id: Long, i: Int): String =
+    s"s3://graft-corpus/media/${mediaShard(id, i)}/${docIdStr(id)}_$i.png"
 
-  /** Mega-document factor: ~1/997 of docs get a 100x span tail to exercise
+  def ediCtl(id: Long): Long = (id * 1009 + 7) % 1000000000L
+
+  def ediPayload(id: Long): String =
+    s"ISA*00*${ediCtl(id)}~GS*HP*SENDER*RECEIVER~CLP*${docIdStr(id)}*1*150.00*120.00~SE*4*0001~"
+
+  /** Mega-document factor: every 997th doc gets a 100x span tail to exercise
     * skew handling (FIXTURES.md §1 skew case).
     */
-  def megaFactor(docId: String): Int =
-    if (math.abs(h(docId, 999)) % 997 == 0) 100 else 1
+  def megaFactor(id: Long): Int = if (id % 997 == 0) 100 else 1
 
   /** Synthesize the raw interleaved document for (doc_id, seed text). */
-  def synthesize(docId: String, seedText: String): Doc = {
+  def synthesize(id: Long, seedText: String): Doc = {
     val words = graft.functions.Strings.splitWs(seedText).toIndexedSeq
     val w = if (words.isEmpty) IndexedSeq("empty", "document", "body") else words
     val spans = Seq.newBuilder[Span]
@@ -81,22 +93,22 @@ object DocGen {
       spans += Span(kind, text, media, off)
       off += 1
     }
-    val mix = math.abs(h(docId, 1)) % 6
-    add(SpanKind.Html, htmlPayload(docId, w), "")
+    val mix = id % 6
+    add(SpanKind.Html, htmlPayload(w), "")
     if (mix <= 3) add(SpanKind.PdfText, pdfPayload(w.drop(5)), "")
-    if (mix % 2 == 0) add(SpanKind.TableRaw, tablePayload(docId, w), "")
-    if (mix % 3 == 0) add(SpanKind.Media, "", mediaRef(docId, 0))
-    if (mix == 5) add(SpanKind.Edi, ediPayload(docId), "")
-    val factor = megaFactor(docId)
+    if (mix % 2 == 0) add(SpanKind.TableRaw, tablePayload(id, w), "")
+    if (mix % 3 == 0) add(SpanKind.Media, "", mediaRef(id, 0))
+    if (mix == 5) add(SpanKind.Edi, ediPayload(id), "")
+    val factor = megaFactor(id)
     if (factor > 1) {
       var i = 0
       while (i < factor) {
         add(SpanKind.PdfText, pdfPayload(w), "")
-        if (i % 10 == 0) add(SpanKind.Media, "", mediaRef(docId, i + 1))
+        if (i % 10 == 0) add(SpanKind.Media, "", mediaRef(id, i + 1))
         i += 1
       }
     }
-    Doc(docId, spans.result())
+    Doc(docIdStr(id), spans.result())
   }
 
   private val loremWords: IndexedSeq[String] =
@@ -108,11 +120,11 @@ object DocGen {
 
   /** Standalone corpus doc (bench/fixtures): deterministic text from id. */
   def syntheticDoc(i: Long): Doc = {
-    val id = f"doc_$i%09d"
+    val id = docIdStr(i)
     val n = (math.abs(h(id, 7)) % 120 + 20).toInt
     val start = (math.abs(h(id, 8)) % loremWords.length).toInt
     val text = (0 until n).map(k => loremWords((start + k) % loremWords.length)).mkString(" ")
-    synthesize(id, text)
+    synthesize(i, text)
   }
 
   /** Skewed bench corpus (FIXTURES.md §5 bench-skewed): every 4096th doc is

@@ -84,35 +84,62 @@ object SpanTokenizer {
       Seq((SpanKind.Error, s"unsupported_kind:$other", ""))
   }
 
+  /** (shard, index) parsed from a DocGen media_ref
+    * ("s3://graft-corpus/media/<shard>/<doc>_<i>.png"); (0, 0) for foreign
+    * refs. The stub decoders key off these numbers with plain arithmetic so
+    * the DuckDB oracle can re-derive every stubbed metric from the ref
+    * string (graft.OracleX mirrors the formulas).
+    */
+  private def refNums(mediaRef: String): (Long, Long) = {
+    if (mediaRef == null) return (0L, 0L)
+    def numAfter(from: Int, until: Int): Long = {
+      var v = 0L; var any = false; var i = from
+      while (i < until) {
+        val c = mediaRef.charAt(i)
+        if (c >= '0' && c <= '9') { v = v * 10 + (c - '0'); any = true } else return if (any) v else 0L
+        i += 1
+      }
+      if (any) v else 0L
+    }
+    val m = mediaRef.indexOf("/media/")
+    val shard = if (m < 0) 0L else numAfter(m + 7, mediaRef.length)
+    val us = mediaRef.lastIndexOf('_')
+    val dot = mediaRef.lastIndexOf('.')
+    val idx = if (us >= 0 && dot > us) numAfter(us + 1, dot) else 0L
+    (shard, idx)
+  }
+
   /** STUB — media decode. Real image/audio decode libraries are not in this
     * container; production slots a JVM decoder here (SURVEY.md §2.4 quality
     * metrics, image_enhancer.py:855-928). The fake derives deterministic
-    * per-media quality metrics from the media_ref hash so modality logic and
-    * Spark plumbing stay real and testable.
+    * per-media quality metrics from the media_ref's (shard, index) so
+    * modality logic, Spark plumbing AND the SQL oracle all see the same
+    * values.
     */
   def fakeDecodeQuality(mediaRef: String): QualityMetrics = {
-    val h = graft.functions.Hashing.fnv1a64(if (mediaRef == null) "" else mediaRef)
-    val blur = math.abs(h % 1000L).toDouble          // 0..999  variance-of-Laplacian analog
-    val brightness = math.abs((h >>> 10) % 256L).toDouble
-    val contrast = math.abs((h >>> 20) % 128L).toDouble
+    val (s, i) = refNums(mediaRef)
+    val blur = ((s * 97 + i * 31) % 1000).toDouble   // variance-of-Laplacian analog
+    val brightness = ((s * 53 + i * 11) % 256).toDouble
+    val contrast = ((s * 29 + i * 7) % 128).toDouble
     QualityMetrics(blur, brightness, contrast)
   }
 
   /** STUB — media header decode (dimensions/format/frame count). Production
     * slots a real JVM decoder; the fake derives deterministic metadata from
-    * the media_ref hash so the Spark-side plumbing (schema, per-partition
-    * decoder reuse, batch shape) is real and testable without image libs.
+    * the media_ref's (shard, index) so the Spark-side plumbing (schema,
+    * per-partition decoder reuse, batch shape) is real, testable and
+    * oracle-reproducible without image libs.
     */
   final case class MediaMeta(width: Int, height: Int, format: String, nFrames: Int)
 
   def fakeDecodeMeta(mediaRef: String): MediaMeta = {
-    val h = graft.functions.Hashing.fnv1a64(if (mediaRef == null) "" else mediaRef)
-    val width = 320 + math.abs(h % 3777L).toInt            // 320..4096
-    val height = 240 + math.abs((h >>> 16) % 2921L).toInt  // 240..3160
-    val format = (math.abs((h >>> 32) % 4L).toInt: @unchecked) match {
+    val (s, i) = refNums(mediaRef)
+    val width = 320 + ((s * 17 + i * 41) % 3777).toInt   // 320..4096
+    val height = 240 + ((s * 23 + i * 13) % 2921).toInt  // 240..3160
+    val format = (((s + i) % 4).toInt: @unchecked) match {
       case 0 => "png"; case 1 => "jpg"; case 2 => "tiff"; case 3 => "mp4"
     }
-    val nFrames = if (format == "mp4") 30 + math.abs((h >>> 40) % 3571L).toInt else 1
+    val nFrames = if (format == "mp4") 30 + ((s * 7 + i) % 3571).toInt else 1
     MediaMeta(width, height, format, nFrames)
   }
 

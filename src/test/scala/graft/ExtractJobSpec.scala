@@ -118,7 +118,7 @@ class ExtractJobSpec extends AnyFunSuite {
       runId = "skew")
     // choose n so the deterministic mega tail is definitely included
     val firstMega = (0L until 20000L)
-      .find(i => DocGen.megaFactor(f"doc_$i%09d") > 1)
+      .find(i => DocGen.megaFactor(i) > 1)
       .getOrElse(fail("no mega doc in generator range"))
     val n = firstMega.toInt + 200
     val stats = ExtractJob.run(spark, docs(n), out, cfg)

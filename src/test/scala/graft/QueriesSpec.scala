@@ -55,7 +55,7 @@ class QueriesSpec extends AnyFunSuite {
       .select("doc_id", "text").as[(Long, String)].collect()
     docsLocal.foreach { case (id, text) =>
       val pure = graft.tokenize.SpanTokenizer.extract(
-        graft.tokenize.DocGen.synthesize(f"doc_$id%09d", text))
+        graft.tokenize.DocGen.synthesize(id, text))
       assert(viaSpark(pure.doc_id) == pure.spans)
     }
   }
