@@ -264,7 +264,101 @@ object OracleX {
     "WHEN conf_level = 'medium' AND retries_left THEN 'retry' ELSE 'human_review' END AS route " +
     "FROM r ORDER BY doc_id"
 
+  // ---- claim-record surfaces (ExtractionQ.claimFields mirror) ----
+
+  /** Per-rule violation booleans for the CMS-1500 pack over the id-derived
+    * claim (ExtractionQ.claimFields): dates via DuckDB date arithmetic,
+    * charges via the cents formulas.
+    */
+  val x14: String =
+    "WITH c0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did FROM documents), " +
+      "c1 AS (SELECT id, did, " +
+      "DATE '1950-01-01' + CAST(id % 28000 AS INT) AS birth, " +
+      "DATE '2020-01-01' + CAST(id % 365 AS INT) AS sfrom, " +
+      "DATE '2020-01-01' + CAST(id % 365 AS INT) + CAST(id % 7 - 1 AS INT) AS sto, " +
+      "[(id*97 + i*57) % 90000 + 100 FOR i IN range(0, 4)] AS line_cents FROM c0), " +
+      "v AS (SELECT id, did, " +
+      "(birth >= sfrom) AS v_dob, " +                       // allow_equal=false
+      "(sto < sfrom) AS v_order, " +
+      "((id % 3 <> 0) AND (id % 5 = 0)) AS v_cpt_diag, " +
+      "((id % 4 = 1) AND (id % 3 = 0)) AS v_mod_cpt, " +
+      "(abs(list_sum(list_transform(line_cents, x -> CAST(x AS DOUBLE) / 100.0)) " +
+      "- CAST(list_sum(line_cents) + CASE WHEN id % 11 = 0 THEN 200 ELSE 0 END AS DOUBLE) / 100.0) > 0.01) AS v_sum " +
+      "FROM c1), " +
+      "agg AS (SELECT did, " +
+      "CAST(v_dob AS INT) + CAST(v_order AS INT) + CAST(v_cpt_diag AS INT) " +
+      "+ CAST(v_mod_cpt AS INT) + CAST(v_sum AS INT) AS n_err, " +
+      "list_sort(CASE WHEN v_cpt_diag THEN ['cpt_requires_diagnosis'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| CASE WHEN v_sum THEN ['line_charges_total'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| CASE WHEN v_mod_cpt THEN ['modifier_requires_cpt'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| CASE WHEN v_dob THEN ['patient_dob_before_service'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| CASE WHEN v_order THEN ['service_date_order'] ELSE CAST([] AS VARCHAR[]) END) AS names " +
+      "FROM v) " +
+      "SELECT did AS doc_id, CAST(6 AS INT) AS rules_checked, " +
+      "CAST(6 - n_err AS INT) AS rules_passed, CAST(n_err AS INT) AS n_errors, " +
+      "(n_err = 0) AS passed, coalesce(array_to_string(names, ','), '') AS violated " +
+      "FROM agg ORDER BY doc_id"
+
+  /** Confidence.fieldConfidence + overall mirrored per field; weights are
+    * the literals normalized by their IEEE sum exactly as the Scala does.
+    */
+  val x15: String = {
+    // CAST to DOUBLE: DuckDB literals are DECIMAL, and decimal-with-decimal
+    // arithmetic is exact — the Scala weights are computed in doubles where
+    // 0.35+0.30+0.20+0.15 = 0.999...9, so the SQL must sum doubles too
+    val wsum = "(CAST(0.35 AS DOUBLE) + 0.30 + 0.20 + 0.15)"
+    def fld(k: Int, p: Int, q: Int): String = {
+      val e = s"CAST(id * $p % 101 AS DOUBLE) / 100.0"
+      val a = s"CAST(id * $q % 101 AS DOUBLE) / 100.0"
+      val v = s"((id + $k) % 7 <> 0)"
+      val pf = s"((id + $k) % 13 = 0)"
+      val blend = s"(CAST(0.35 AS DOUBLE) / $wsum) * ($e) + (CAST(0.30 AS DOUBLE) / $wsum) * ($a) " +
+        s"+ (CAST(0.20 AS DOUBLE) / $wsum) * (CASE WHEN $v THEN 1.0 ELSE CAST(1.0 AS DOUBLE) - 0.30 END) " +
+        s"+ (CAST(0.15 AS DOUBLE) / $wsum) * (CASE WHEN $pf THEN CAST(1.0 AS DOUBLE) - 0.20 ELSE 1.0 END)"
+      s"CASE WHEN NOT $v THEN least(greatest(0.0, least(1.0, $blend)), CAST(0.85 AS DOUBLE) - 0.01) " +
+        s"ELSE greatest(0.0, least(1.0, $blend)) END AS c$k"
+    }
+    "WITH c0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did FROM documents), " +
+      s"f AS (SELECT id, did, ${fld(0, 3, 7)}, ${fld(1, 5, 11)}, ${fld(2, 13, 17)}, ${fld(3, 19, 23)} FROM c0), " +
+      "lv AS (SELECT *, " +
+      (0 to 3).map(k => s"CASE WHEN c$k >= 0.85 THEN 'high' WHEN c$k >= 0.5 THEN 'medium' ELSE 'low' END AS l$k")
+        .mkString(", ") + " FROM f), " +
+      "o AS (SELECT id, did, l0, l1, l2, l3, " +
+      "(c0 * 2 + c1 * 2 + c2 + c3) / 6.0 AS conf0, " +
+      "CAST(l0 = 'low' AS INT) + CAST(l1 = 'low' AS INT) AS ci FROM lv), " +
+      "o2 AS (SELECT id, did, l0, l1, l2, l3, ci, " +
+      "CASE WHEN ci > 0 THEN greatest(0.0, conf0 - 0.40 * (CAST(ci AS DOUBLE) / 2)) ELSE conf0 END AS conf FROM o) " +
+      "SELECT did AS doc_id, conf AS overall_confidence, " +
+      "CASE WHEN conf >= 0.85 THEN 'high' WHEN conf >= 0.5 THEN 'medium' ELSE 'low' END AS overall_level, " +
+      "CASE WHEN ci > 0 THEN 'human_review' " +
+      "WHEN conf >= 0.85 THEN 'auto_accept' " +
+      "WHEN id % 4 < 2 THEN 'retry' ELSE 'human_review' END AS action, " +
+      (Seq("high", "medium", "low").map(l =>
+        s"CAST(" + (0 to 3).map(k => s"CAST(l$k = '$l' AS INT)").mkString(" + ") +
+          s" AS INT) AS n_$l").mkString(", ")) +
+      " FROM o2 ORDER BY doc_id"
+  }
+
+  /** Critic combiner over real dual-pass agreement + derived modalities. */
+  val x16: String = recon(Seq(3, 2)) + modalityAggs +
+    ", agr AS (SELECT id, did, " +
+    "CAST(len(list_intersect(list_transform(spans, s -> s.\"text\"), list_transform(spans2, s -> s.\"text\"))) AS DOUBLE) " +
+    "/ CAST(greatest(len(list_distinct(list_concat(list_transform(spans, s -> s.\"text\"), list_transform(spans2, s -> s.\"text\")))), 1) AS DOUBLE) AS dp " +
+    "FROM recon), " +
+    s"mods AS (SELECT f.id, f.did, $isFax AS is_fax, " +
+    "(total_words < 50 AND NOT (mix % 2 = 0)) AS is_visual FROM f), " +
+    "j AS (SELECT a.id, a.did, a.dp, " +
+    "CAST(a.id * 13 % 101 AS DOUBLE) / 100.0 AS ct, " +
+    "greatest(CASE WHEN m.is_fax THEN 0.7 ELSE 0.0 END, CASE WHEN m.is_visual THEN 0.4 ELSE 0.0 END) AS pen " +
+    "FROM agr a JOIN mods m ON a.id = m.id) " +
+    "SELECT did AS doc_id, greatest(0.0, least(1.0, dp)) AS dual_pass, " +
+    "greatest(0.0, least(1.0, ct)) AS critic, pen AS modality_penalty, " +
+    "greatest(0.0, least(1.0, 0.5 * greatest(0.0, least(1.0, dp)) + 0.3 * greatest(0.0, least(1.0, ct)) " +
+    "+ 0.2 * greatest(0.0, 1.0 - pen))) AS raw_combined " +
+    "FROM j ORDER BY doc_id"
+
   val all: Map[String, String] = Map(
+    "x14_cross_field" -> x14, "x15_confidence" -> x15, "x16_critic" -> x16,
     "x01_spans" -> x01, "x02_span_stats" -> x02, "x03_modality" -> x03,
     "x04_table_rows" -> x04, "x05_media_quality" -> x05, "x06_reconcile" -> x06,
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,

@@ -75,6 +75,9 @@ object SparkEntry {
     "x11_calibration" -> (ExtractionQ.x11Calibration _),
     "x12_media_pipeline" -> (ExtractionQ.x12MediaPipeline _),
     "x13_routing" -> (ExtractionQ.x13Routing _),
+    "x14_cross_field" -> (ExtractionQ.x14CrossField _),
+    "x15_confidence" -> (ExtractionQ.x15Confidence _),
+    "x16_critic" -> (ExtractionQ.x16Critic _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _),

@@ -229,11 +229,12 @@ object ExtractionQ {
   private def scoredAll(spark: SparkSession, dir: String): DataFrame = {
     val scoreUdf = udf { (texts: Seq[String]) => Patterns.suspicionScore(texts) }
     val p1 = extracted(spark, dir, SpanTokenizer.default)
-      .select(col("doc_id"), transform(col("spans"), s => s.getField("text")).as("t1"))
+      .select(col("doc_id"), col("modalities"),
+        transform(col("spans"), s => s.getField("text")).as("t1"))
     val p2 = extracted(spark, dir, SpanTokenizer.pass2)
       .select(col("doc_id"), transform(col("spans"), s => s.getField("text")).as("t2"))
     p1.join(p2, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("modalities"),
         (size(array_intersect(coalesce(col("t1"), array()), coalesce(col("t2"), array())))
           .cast("double") /
           greatest(size(array_union(coalesce(col("t1"), array()),
@@ -299,6 +300,116 @@ object ExtractionQ {
           .otherwise("human_review"))
       .select(col("doc_id"), col("confidence"), col("conf_level"),
         col("is_likely_hallucination"), col("retries_left"), col("route"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic claim-record synthesis for the cross-field /
+    * confidence-scoring surfaces: every field is plain arithmetic on the
+    * numeric doc id (SQL-mirrorable by OracleX), with planted violations —
+    * service date order flips every 7th doc, diagnosis pointer missing
+    * every 5th, modifier-without-CPT when id%4==1 and id%3==0, totals off
+    * by $2.00 every 11th.
+    */
+  private[queries] def claimFields(id: Long): Map[String, String] = {
+    import graft.tokenize.DocGen
+    val birth = java.time.LocalDate.of(1950, 1, 1).plusDays(id % 28000)
+    val from = java.time.LocalDate.of(2020, 1, 1).plusDays(id % 365)
+    val to = from.plusDays(id % 7 - 1)
+    def money(cents: Long): String = f"$$${cents / 100}%d.${cents % 100}%02d"
+    val lineCents = (0 until 4).map(i => DocGen.tableAmtCents(id, i).toLong)
+    val totalCents = lineCents.sum + (if (id % 11 == 0) 200L else 0L)
+    Map(
+      "patient_birth_date" -> birth.toString,
+      "service_date_from" -> from.toString,
+      "service_date_to" -> to.toString,
+      "cpt_code" -> (if (id % 3 != 0) "99213" else ""),
+      "diagnosis_pointer" -> (if (id % 5 != 0) "A" else ""),
+      "modifier" -> (if (id % 4 == 1) "25" else ""),
+      "line_1_charges" -> money(lineCents(0)),
+      "line_2_charges" -> money(lineCents(1)),
+      "line_3_charges" -> money(lineCents(2)),
+      "line_4_charges" -> money(lineCents(3)),
+      "total_charges" -> money(totalCents))
+  }
+
+  /** Cross-field rule engine over per-doc claim records: the CMS-1500 rule
+    * pack (date ordering, required-if dependencies, line-charge summation)
+    * applied row-wise as a broadcast pack — map-only at any corpus size
+    * (reference src/validation/cross_field.py:142-912 semantics,
+    * :920-975 CMS-1500 pack).
+    */
+  def x14CrossField(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CrossField
+    val rules = CrossField.cms1500Rules
+    load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val r = CrossField.validate(rules, claimFields(id))
+          (f"doc_$id%09d", r.rulesChecked, r.rulesPassed,
+            r.errors.length, r.passed,
+            r.violations.map(_.ruleName).sorted.mkString(","))
+        }
+      }
+      .toDF("doc_id", "rules_checked", "rules_passed", "n_errors", "passed", "violated")
+      .orderBy("doc_id")
+  }
+
+  /** Confidence scorer (confidence.py:125-420): per-field .35/.30/.20/.15
+    * blend with validation hard-gate and pattern penalty, critical fields
+    * (patient_name, npi) doubled and gating the action ladder. Field inputs
+    * are id-derived so the oracle re-derives the whole computation.
+    */
+  def x15Confidence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Confidence
+    val fieldNames = Seq("patient_name", "npi", "total_charges", "service_date")
+    val primes = Seq((3, 7), (5, 11), (13, 17), (19, 23))
+    val critical = Set("patient_name", "npi")
+    load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val fields = fieldNames.zip(primes).zipWithIndex.map {
+            case ((name, (p, q)), k) =>
+              Confidence.fieldConfidence(
+                fieldName = name,
+                extractionConf = (id * p % 101).toDouble / 100.0,
+                agreementScore = (id * q % 101).toDouble / 100.0,
+                validationPassed = (id + k) % 7 != 0,
+                hasPatternFlag = (id + k) % 13 == 0)
+          }
+          val o = Confidence.overall(fields, critical, retryCount = (id % 4).toInt)
+          (f"doc_$id%09d", o.overallConfidence, o.overallLevel, o.action,
+            o.nHigh, o.nMedium, o.nLow)
+        }
+      }
+      .toDF("doc_id", "overall_confidence", "overall_level", "action",
+        "n_high", "n_medium", "n_low")
+      .orderBy("doc_id")
+  }
+
+  /** Critic combiner (critic_combiner.py:40-107): 0.5/0.3/0.2 blend of
+    * dual-pass agreement (real pass1-vs-pass2 reconciliation), critic trust
+    * (id-derived stand-in for the VLM critic's trust score — the VLM is out
+    * of scope) and the worst-of modality penalty (fax .7 / handwritten .6 /
+    * visual .4) over the derived modalities.
+    */
+  def x16Critic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Confidence
+    val combineUdf = udf { (agree: Double, trust: Double, modalities: Seq[String]) =>
+      val c = Confidence.combineConfidence(agree, trust, modalities)
+      (c.dualPass, c.critic, c.modalityPen, c.rawCombined)
+    }
+    scoredAll(spark, dir)
+      .withColumn("trust",
+        (substring(col("doc_id"), 5, 9).cast("long") * 13 % 101).cast("double") / 100.0)
+      .withColumn("c", combineUdf(col("agreement_rate"), col("trust"), col("modalities")))
+      .select(col("doc_id"), col("c._1").as("dual_pass"), col("c._2").as("critic"),
+        col("c._3").as("modality_penalty"), col("c._4").as("raw_combined"))
       .orderBy("doc_id")
   }
 
