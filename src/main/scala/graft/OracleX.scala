@@ -66,6 +66,23 @@ object OracleX {
       "{'kind':'text','text':'CLP*' || did || '*1*150.00*120.00','media_ref':''}, " +
       "{'kind':'text','text':'SE*4*0001','media_ref':''} ]"
 
+  /** DOCX paragraphs: chunks of 10 words from w[3..] as text spans. */
+  private val docxSpans: String =
+    "[{'kind': 'text', 'text': array_to_string(w[i:least(i+9, n)], ' '), 'media_ref': ''} " +
+      "FOR i IN range(3, n + 1, 10)]"
+
+  /** Sheet cells: the first min(n, 15) words, row-major (rows of 5). */
+  private val sheetSpans: String =
+    "[{'kind': 'table_cell', 'text': w[j], 'media_ref': ''} " +
+      "FOR j IN range(1, least(n, 15) + 1)]"
+
+  /** DICOM tag lines + pixel-data figure (media index 200). */
+  private val dicomSpans: String =
+    "[{'kind': 'text', 'text': 'patient_name=' || array_to_string(w[1:2], ' '), 'media_ref': ''}, " +
+      "{'kind': 'text', 'text': 'modality=' || CASE id % 3 WHEN 0 THEN 'CT' WHEN 1 THEN 'MR' ELSE 'XR' END, 'media_ref': ''}, " +
+      "{'kind': 'text', 'text': 'study_date=' || CAST(DATE '2021-01-01' + CAST(id % 365 AS INT) AS VARCHAR), 'media_ref': ''}, " +
+      "{'kind': 'figure', 'text': '', 'media_ref': 's3://graft-corpus/media/' || CAST((id*131 + 1400) % 1000 AS VARCHAR) || '/' || did || '_200.png'}]"
+
   /** Shared reconstruction CTE prefix. passes: html min-words per span
     * column (3 -> `spans` = tokenizer default; 2 -> `spans2` = pass2).
     */
@@ -77,6 +94,9 @@ object OracleX {
         s"|| CASE WHEN mix % 2 = 0 THEN $tableCells ELSE CAST([] AS $SpanT) END " +
         s"|| CASE WHEN mix % 3 = 0 THEN [{'kind':'figure','text':'','media_ref': ${mediaRefSql("0")}}] ELSE CAST([] AS $SpanT) END " +
         s"|| CASE WHEN mix = 5 THEN $edi ELSE CAST([] AS $SpanT) END " +
+        s"|| CASE WHEN id % 7 = 3 THEN $docxSpans ELSE CAST([] AS $SpanT) END " +
+        s"|| CASE WHEN id % 7 = 5 THEN $sheetSpans ELSE CAST([] AS $SpanT) END " +
+        s"|| CASE WHEN id % 11 = 7 THEN $dicomSpans ELSE CAST([] AS $SpanT) END " +
         s"|| CASE WHEN id % 997 = 0 THEN flatten([ (${pdfSpans("w")} " +
         s"|| CASE WHEN i % 10 = 0 THEN [{'kind':'figure','text':'','media_ref': ${mediaRefSql("i + 1")}}] ELSE CAST([] AS $SpanT) END) " +
         s"FOR i IN range(0, 100) ]) ELSE CAST([] AS $SpanT) END" +
@@ -105,9 +125,12 @@ object OracleX {
     "SELECT s.kind AS kind, count(*) AS n_spans, " +
     "CAST(sum(length(s.\"text\")) AS BIGINT) AS sum_chars FROM ex GROUP BY 1 ORDER BY 1"
 
-  /** Media (shard, index) pairs per doc, in raw-span order. */
+  /** Media (shard, index) pairs per doc, in raw-span order (plain media,
+    * then dicom pixel data, then the mega tail's figures).
+    */
   private val mediaNums: String =
     "CASE WHEN mix % 3 = 0 THEN [{'s': (id*131) % 1000, 'i': 0}] ELSE CAST([] AS STRUCT(s BIGINT, i BIGINT)[]) END || " +
+      "CASE WHEN id % 11 = 7 THEN [{'s': (id*131 + 1400) % 1000, 'i': CAST(200 AS BIGINT)}] ELSE CAST([] AS STRUCT(s BIGINT, i BIGINT)[]) END || " +
       "CASE WHEN id % 997 = 0 THEN [{'s': (id*131 + (i+1)*7) % 1000, 'i': CAST(i + 1 AS BIGINT)} FOR i IN range(0, 100) IF i % 10 = 0] " +
       "ELSE CAST([] AS STRUCT(s BIGINT, i BIGINT)[]) END"
 

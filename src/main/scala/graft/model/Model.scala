@@ -5,7 +5,8 @@ package graft.model
   * The north-rule input/output row shape (BASELINE.json input_hint):
   * `(doc_id: string, spans: array<struct<kind, text, media_ref, offset>>)`.
   *
-  * Raw (input) span kinds:  html | pdf_text | table_raw | media | edi
+  * Raw (input) span kinds:  html | pdf_text | table_raw | media | edi |
+  *                          docx | sheet | dicom
   * Extracted (output) kinds: text | heading | table_cell | figure | error
   * (boilerplate blocks are dropped, so they never appear in output).
   *
@@ -22,6 +23,9 @@ object SpanKind {
   val TableRaw = "table_raw"
   val Media = "media"
   val Edi = "edi"
+  val Docx = "docx"
+  val Sheet = "sheet"
+  val Dicom = "dicom"
   // extracted kinds
   val Text = "text"
   val Heading = "heading"

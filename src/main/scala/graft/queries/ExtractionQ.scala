@@ -201,7 +201,7 @@ object ExtractionQ {
   def x12MediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     rawDocs(spark, dir)
-      .flatMap(d => d.spans.filter(_.kind == SpanKind.Media)
+      .flatMap(d => d.spans.filter(_.media_ref.nonEmpty)
         .map(s => (d.doc_id, s.media_ref)))
       .mapPartitions { it =>
         // reusable per-partition decoder instance (no per-row setup)

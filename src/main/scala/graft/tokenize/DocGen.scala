@@ -78,6 +78,27 @@ object DocGen {
   def ediPayload(id: Long): String =
     s"ISA*00*${ediCtl(id)}~GS*HP*SENDER*RECEIVER~CLP*${docIdStr(id)}*1*150.00*120.00~SE*4*0001~"
 
+  /** DOCX analog: paragraph texts separated by newlines (docx_processor.py
+    * extracts document.xml paragraphs as text lines).
+    */
+  def docxPayload(words: IndexedSeq[String]): String =
+    chunk(words.drop(2), 10).map(_.mkString(" ")).mkString("\n")
+
+  /** Spreadsheet analog: CSV rows of 5 cells from the first 15 words
+    * (spreadsheet_processor.py reads CSV rows; blank rows dropped).
+    */
+  def sheetPayload(words: IndexedSeq[String]): String =
+    chunk(words.take(15), 5).map(_.mkString(",")).mkString("\n")
+
+  /** DICOM analog: tag=value metadata lines + a pixel-data media pointer
+    * (dicom_processor.py extracts patient/study tags and pixel frames).
+    */
+  def dicomPayload(id: Long, words: IndexedSeq[String]): String = {
+    val modality = Seq("CT", "MR", "XR")((id % 3).toInt)
+    val studyDate = java.time.LocalDate.of(2021, 1, 1).plusDays(id % 365)
+    s"patient_name=${words.take(2).mkString(" ")}\nmodality=$modality\nstudy_date=$studyDate"
+  }
+
   /** Mega-document factor: every 997th doc gets a 100x span tail to exercise
     * skew handling (FIXTURES.md §1 skew case).
     */
@@ -99,6 +120,9 @@ object DocGen {
     if (mix % 2 == 0) add(SpanKind.TableRaw, tablePayload(id, w), "")
     if (mix % 3 == 0) add(SpanKind.Media, "", mediaRef(id, 0))
     if (mix == 5) add(SpanKind.Edi, ediPayload(id), "")
+    if (id % 7 == 3) add(SpanKind.Docx, docxPayload(w), "")
+    if (id % 7 == 5) add(SpanKind.Sheet, sheetPayload(w), "")
+    if (id % 11 == 7) add(SpanKind.Dicom, dicomPayload(id, w), mediaRef(id, 200))
     val factor = megaFactor(id)
     if (factor > 1) {
       var i = 0

@@ -80,6 +80,30 @@ object SpanTokenizer {
       Seq((SpanKind.Figure, "", raw.media_ref))
     case SpanKind.Edi =>
       ediSegments(raw.text).map(t => (SpanKind.Text, t, ""))
+    case SpanKind.Docx =>
+      // docx_processor.py:34-50: paragraphs become text lines; no heading
+      // classification (layout understanding is the VLM's job there)
+      if (raw.text == null) Seq.empty
+      else raw.text.split('\n').toIndexedSeq
+        .map(Strings.normalizeWhitespace).filter(_.nonEmpty)
+        .map(t => (SpanKind.Text, t, ""))
+    case SpanKind.Sheet =>
+      // spreadsheet_processor.py: CSV rows -> cells, blank cells dropped,
+      // row-major order preserved
+      if (raw.text == null) Seq.empty
+      else raw.text.split('\n').toIndexedSeq.filter(_.nonEmpty)
+        .flatMap(_.split(',').toIndexedSeq
+          .map(Strings.normalizeWhitespace).filter(_.nonEmpty))
+        .map(t => (SpanKind.TableCell, t, ""))
+    case SpanKind.Dicom =>
+      // dicom_processor.py: patient/study tag=value metadata lines + the
+      // pixel-data frames (here: one figure span carrying the pointer)
+      val tags =
+        if (raw.text == null) Seq.empty
+        else raw.text.split('\n').toIndexedSeq
+          .map(Strings.normalizeWhitespace).filter(_.nonEmpty)
+          .map(t => (SpanKind.Text, t, ""))
+      tags :+ ((SpanKind.Figure, "", raw.media_ref))
     case other =>
       Seq((SpanKind.Error, s"unsupported_kind:$other", ""))
   }
@@ -180,7 +204,9 @@ object SpanTokenizer {
       }
     }
     val spans = out.result()
-    val mediaRefs = ordered.filter(_.kind == SpanKind.Media).map(_.media_ref)
+    // every raw span carrying a media pointer contributes quality metrics
+    // (plain media spans AND dicom pixel data)
+    val mediaRefs = ordered.filter(_.media_ref.nonEmpty).map(_.media_ref)
     val quality = mediaRefs.map(fakeDecodeQuality)
     val totalWords = spans.iterator.filter(s => s.kind == SpanKind.Text || s.kind == SpanKind.Heading)
       .map(s => s.text.count(_ == ' ') + 1).sum

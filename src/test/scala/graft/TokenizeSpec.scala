@@ -98,6 +98,40 @@ class TokenizeSpec extends AnyFunSuite {
       Span(SpanKind.Text, "CLP*x*1", "", 1)))
   }
 
+  test("docx paragraphs become text spans (no heading classification)") {
+    val doc = Doc("d", Seq(Span(SpanKind.Docx,
+      "First paragraph of the letter\n\nSecond  paragraph here", "", 0)))
+    val out = SpanTokenizer.extract(doc)
+    assert(out.spans == Seq(
+      Span(SpanKind.Text, "First paragraph of the letter", "", 0),
+      Span(SpanKind.Text, "Second paragraph here", "", 1)))
+  }
+
+  test("sheet CSV rows become row-major table cells, blanks dropped") {
+    val doc = Doc("d", Seq(Span(SpanKind.Sheet, "a,b,c\n\nd,,f", "", 0)))
+    val out = SpanTokenizer.extract(doc)
+    assert(out.spans.map(s => (s.kind, s.text)) == Seq(
+      ("table_cell", "a"), ("table_cell", "b"), ("table_cell", "c"),
+      ("table_cell", "d"), ("table_cell", "f")))
+  }
+
+  test("dicom tag lines become text spans plus a pixel-data figure") {
+    val doc = Doc("d", Seq(Span(SpanKind.Dicom,
+      "patient_name=jane roe\nmodality=CT", "s3://m/px.dcm", 0)))
+    val out = SpanTokenizer.extract(doc)
+    assert(out.spans == Seq(
+      Span(SpanKind.Text, "patient_name=jane roe", "", 0),
+      Span(SpanKind.Text, "modality=CT", "", 1),
+      Span(SpanKind.Figure, "", "s3://m/px.dcm", 2)))
+  }
+
+  test("all eight raw kinds appear across the synthesized corpus") {
+    val kinds = (0L until 1000L)
+      .flatMap(i => DocGen.syntheticDoc(i).spans.map(_.kind)).toSet
+    assert(Set("html", "pdf_text", "table_raw", "media", "edi",
+      "docx", "sheet", "dicom").subsetOf(kinds), s"got $kinds")
+  }
+
   test("unknown kind becomes an error span, never a throw") {
     val doc = Doc("d", Seq(Span("weird", "abc", "", 0)))
     val out = SpanTokenizer.extract(doc)
