@@ -380,8 +380,73 @@ object OracleX {
     "+ 0.2 * greatest(0.0, 1.0 - pen))) AS raw_combined " +
     "FROM j ORDER BY doc_id"
 
+  // ---- golden-eval ladder (ExtractionQ.goldenPairs + GoldenEval mirror) ----
+
+  private def normSql(v: String): String =
+    s"regexp_replace(lower(trim($v)), '\\s+', ' ', 'g')"
+
+  private def ratioSql(a: String, b: String): String =
+    s"CASE WHEN length($a) = 0 AND length($b) = 0 THEN 1.0 " +
+      s"WHEN length($a) = 0 OR length($b) = 0 THEN 0.0 " +
+      s"ELSE CAST(1.0 AS DOUBLE) - CAST(levenshtein($a, $b) AS DOUBLE) / greatest(length($a), length($b)) END"
+
+  private def numSql(v: String): String =
+    s"TRY_CAST(trim(regexp_replace(trim($v), '[$$€£¥,]', '', 'g')) AS DOUBLE)"
+
+  private def centsStr(c: String): String =
+    s"CAST(($c) // 100 AS VARCHAR) || '.' || lpad(CAST(($c) % 100 AS VARCHAR), 2, '0')"
+
+  private val goldenPairsCte: String =
+    "WITH g0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did, " +
+      "CASE WHEN length(trim(text)) = 0 THEN ['empty','document','body'] " +
+      "ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents), " +
+      "g1 AS (SELECT id, did, w, len(w) AS n, (id*97) % 90000 + 100 AS cents FROM g0), " +
+      "pairs AS (" +
+      "SELECT id, did, 'claim_id' AS field, 'exact' AS match_level, did AS g, " +
+      "CASE WHEN id % 29 = 0 THEN substr(did, 5) ELSE did END AS x FROM g1 " +
+      "UNION ALL SELECT id, did, 'patient_name', 'normalized', w[1] || ' ' || w[2], " +
+      "CASE WHEN id % 23 = 0 THEN (CASE WHEN n >= 5 THEN w[5] ELSE 'alt' END) " +
+      "WHEN id % 13 = 0 THEN upper(w[1]) || '  ' || upper(w[2]) " +
+      "ELSE w[1] || ' ' || w[2] END FROM g1 " +
+      "UNION ALL SELECT id, did, 'provider', 'fuzzy', w[3] || ' ' || w[4], " +
+      "CASE WHEN id % 17 = 0 THEN substr(w[3] || ' ' || w[4], 1, length(w[3] || ' ' || w[4]) - 1) " +
+      "ELSE w[3] || ' ' || w[4] END FROM g1 " +
+      s"UNION ALL SELECT id, did, 'total_charges', 'numeric', '$$' || ${centsStr("cents")}, " +
+      s"CASE WHEN id % 19 = 0 THEN ${centsStr("cents + cents // 5")} " +
+      s"ELSE ${centsStr("cents")} END FROM g1), " +
+      "cmp AS (SELECT did, field, match_level, " +
+      "CASE match_level " +
+      "WHEN 'exact' THEN g = x " +
+      s"WHEN 'normalized' THEN ${normSql("g")} = ${normSql("x")} " +
+      s"WHEN 'fuzzy' THEN ${ratioSql(normSql("g"), normSql("x"))} >= 0.85 " +
+      s"ELSE abs(${numSql("g")} - ${numSql("x")}) / abs(${numSql("g")}) <= 0.01 END AS is_match, " +
+      "CASE match_level " +
+      s"WHEN 'exact' THEN (CASE WHEN g = x THEN 1.0 ELSE ${ratioSql("g", "x")} END) " +
+      s"WHEN 'normalized' THEN (CASE WHEN ${normSql("g")} = ${normSql("x")} THEN 1.0 " +
+      s"ELSE ${ratioSql(normSql("g"), normSql("x"))} END) " +
+      s"WHEN 'fuzzy' THEN ${ratioSql(normSql("g"), normSql("x"))} " +
+      s"ELSE greatest(0.0, CAST(1.0 AS DOUBLE) - abs(${numSql("g")} - ${numSql("x")}) / abs(${numSql("g")})) END AS similarity " +
+      "FROM pairs)"
+
+  val x17: String = goldenPairsCte +
+    " SELECT did AS doc_id, field, match_level, is_match, similarity " +
+    "FROM cmp ORDER BY doc_id, field"
+
+  val x18: String = goldenPairsCte +
+    ", agg AS (SELECT field, match_level, " +
+    "CAST(SUM(CAST(is_match AS INT)) AS BIGINT) AS tp, " +
+    "CAST(SUM(CAST(NOT is_match AS INT)) AS BIGINT) AS fp, " +
+    "CAST(SUM(CAST(NOT is_match AS INT)) AS BIGINT) AS fn, " +
+    "count(*) AS n_docs FROM cmp GROUP BY 1, 2) " +
+    "SELECT field, match_level, tp, fp, fn, n_docs, " +
+    "CAST(tp AS DOUBLE) / (tp + fp) AS precision, " +
+    "CAST(tp AS DOUBLE) / (tp + fn) AS recall, " +
+    "CAST(tp AS DOUBLE) * 2 / (tp * 2 + fp + fn) AS f1 " +
+    "FROM agg ORDER BY field"
+
   val all: Map[String, String] = Map(
     "x14_cross_field" -> x14, "x15_confidence" -> x15, "x16_critic" -> x16,
+    "x17_golden_eval" -> x17, "x18_field_f1" -> x18,
     "x01_spans" -> x01, "x02_span_stats" -> x02, "x03_modality" -> x03,
     "x04_table_rows" -> x04, "x05_media_quality" -> x05, "x06_reconcile" -> x06,
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,

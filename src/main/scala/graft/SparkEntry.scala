@@ -78,6 +78,8 @@ object SparkEntry {
     "x14_cross_field" -> (ExtractionQ.x14CrossField _),
     "x15_confidence" -> (ExtractionQ.x15Confidence _),
     "x16_critic" -> (ExtractionQ.x16Critic _),
+    "x17_golden_eval" -> (ExtractionQ.x17GoldenEval _),
+    "x18_field_f1" -> (ExtractionQ.x18FieldF1 _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _),

@@ -413,6 +413,78 @@ object ExtractionQ {
       .orderBy("doc_id")
   }
 
+  /** Deterministic golden/extracted field pairs for the evaluation ladder:
+    * (field, match_level, golden, extracted). Planted perturbation classes
+    * exercise every level — casing/whitespace drift every 13th doc
+    * (NORMALIZED still matches), a dropped trailing char every 17th (FUZZY
+    * decides by ratio), +20% amounts every 19th (NUMERIC tolerance breach),
+    * a stripped id prefix every 29th (EXACT mismatch), a wrong name every
+    * 23rd. All id arithmetic — OracleX mirrors.
+    */
+  private[queries] def goldenPairs(id: Long, words: IndexedSeq[String])
+      : Seq[(String, String, String, String)] = {
+    import graft.tokenize.DocGen
+    val did = DocGen.docIdStr(id)
+    def money(c: Long): String = f"$$${c / 100}%d.${c % 100}%02d"
+    def plain(c: Long): String = f"${c / 100}%d.${c % 100}%02d"
+    val name = words(0) + " " + words(1)
+    val provider = words(2) + " " + words(3)
+    val cents = DocGen.tableAmtCents(id, 0).toLong
+    Seq(
+      ("claim_id", "exact", did,
+        if (id % 29 == 0) did.substring(4) else did),
+      ("patient_name", "normalized", name,
+        if (id % 23 == 0) { if (words.length >= 5) words(4) else "alt" }
+        else if (id % 13 == 0) words(0).toUpperCase + "  " + words(1).toUpperCase
+        else name),
+      ("provider", "fuzzy", provider,
+        if (id % 17 == 0) provider.dropRight(1) else provider),
+      ("total_charges", "numeric", money(cents),
+        if (id % 19 == 0) plain(cents + cents / 5) else plain(cents)))
+  }
+
+  /** Golden-dataset evaluation join (metrics.py:330-500): a deterministic
+    * golden fixture table joined to the extracted values by doc_id, each
+    * field compared at its own EXACT / NORMALIZED / FUZZY / NUMERIC match
+    * level with Levenshtein-ratio similarity.
+    */
+  def x17GoldenEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.GoldenEval
+    load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w0 = Strings.splitWs(text).toIndexedSeq
+        val w = if (w0.isEmpty) IndexedSeq("empty", "document", "body") else w0
+        goldenPairs(id, w).map { case (field, level, g, x) =>
+          val r = GoldenEval.compareField(Some(g), Some(x), level)
+          (graft.tokenize.DocGen.docIdStr(id), field, level, r.isMatch, r.similarity)
+        }
+      }
+      .toDF("doc_id", "field", "match_level", "is_match", "similarity")
+      .orderBy("doc_id", "field")
+  }
+
+  /** Per-field evaluation breakdown (benchmark.py:310-355 run-comparison
+    * grain): tp / fp / fn and precision / recall / F1 per field across the
+    * corpus (a field counts fp when extracted-but-wrong, fn when
+    * expected-but-missed, per metrics.py aggregation).
+    */
+  def x18FieldF1(spark: SparkSession, dir: String): DataFrame =
+    x17GoldenEval(spark, dir)
+      .groupBy(col("field"), col("match_level"))
+      .agg(
+        sum(col("is_match").cast("long")).as("tp"),
+        sum((!col("is_match")).cast("long")).as("fp"),
+        sum((!col("is_match")).cast("long")).as("fn"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("precision", col("tp").cast("double") / (col("tp") + col("fp")))
+      .withColumn("recall", col("tp").cast("double") / (col("tp") + col("fn")))
+      .withColumn("f1", col("tp").cast("double") * 2 /
+        (col("tp") * 2 + col("fp") + col("fn")))
+      .orderBy("field")
+
   /** Cross-field sum rule over reconstructed tables: data-row amounts must
     * sum to the total row within 0.01 (cross_field.py nested-sum rule).
     */
