@@ -444,9 +444,90 @@ object OracleX {
     "CAST(tp AS DOUBLE) * 2 / (tp * 2 + fp + fn) AS f1 " +
     "FROM agg ORDER BY field"
 
+  // ---- full hallucination detector over named-field records ----
+
+  /** x19 mirror. Checks that cannot fire on this record shape by
+    * construction (placeholder/test-data regexes on the letter-fillers,
+    * flags on the <=4-digit ref fields) are omitted from the SQL — if the
+    * construction ever drifted so they fired, the Scala side would diverge
+    * and this row would fail loudly.
+    */
+  val x19: String = {
+    val alphaHit = (v: String) =>
+      s"(regexp_replace(lower($v), '[^a-z]', '', 'g') LIKE '%abcd%' " +
+        s"OR regexp_replace(lower($v), '[^a-z]', '', 'g') LIKE '%efgh%' " +
+        s"OR regexp_replace(lower($v), '[^a-z]', '', 'g') LIKE '%lmno%') " +
+        s"AND length(regexp_replace(lower($v), '[^a-z]', '', 'g')) >= 4"
+    val trunc = (v: String) =>
+      s"(ends_with($v, '...') OR ends_with($v, '…') OR ends_with($v, '---') OR ends_with($v, '___'))"
+    val genName = (v: String) =>
+      s"list_contains(${sqlStrSet(graft.functions.Patterns.genericNames)}, " +
+        s"trim(regexp_replace(lower($v), '\\s+', ' ', 'g')))"
+    val zeroId = (ds: String) =>
+      s"(length($ds) >= 5 AND $ds = repeat('0', length($ds)))"
+    val seqId = (ds: String) =>
+      s"(length($ds) >= 5 AND len(list_filter(range(1, length($ds)), " +
+        s"k -> CAST($ds[k+1] AS INT) - CAST($ds[k] AS INT) = 1)) = length($ds) - 1)"
+    "WITH r0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did FROM documents), " +
+      "f AS (SELECT id, did, " +
+      "CASE WHEN id % 53 = 0 THEN 'john doe' WHEN id % 47 = 0 THEN 'dup value' " +
+      "ELSE 'alice ' || substr('pqrstuv', CAST(id % 7 AS INT) + 1, 1) END AS patient_name, " +
+      "CASE WHEN id % 47 = 0 THEN 'dup value' " +
+      "ELSE 'bob ' || substr('vwxyz', CAST(id % 5 AS INT) + 1, 1) END AS provider_name, " +
+      "CASE WHEN id % 47 = 0 THEN 'dup value' WHEN id % 41 = 0 THEN 'see abcd list' " +
+      "ELSE 'note ' || substr('abcdefghijk', CAST(id % 11 AS INT) + 1, 1) END AS notes, " +
+      "CASE WHEN id % 43 = 0 THEN 'partial text...' " +
+      "ELSE 'full text ' || substr('abcdefghijklm', CAST(id % 13 AS INT) + 1, 1) END AS description, " +
+      "CASE WHEN id % 31 = 0 THEN '00000' WHEN id % 37 = 0 THEN 'M34567' " +
+      "ELSE 'M' || CAST(id * 7 % 100000 AS VARCHAR) END AS member_id, " +
+      "CASE WHEN id % 61 = 0 THEN '101' ELSE CAST(id * 3 % 900 + 100 AS VARCHAR) END AS ref_a, " +
+      "CASE WHEN id % 61 = 0 THEN '102' ELSE CAST(id * 5 % 900 + 1100 AS VARCHAR) END AS ref_b, " +
+      "CASE WHEN id % 61 = 0 THEN '103' ELSE CAST(id * 9 % 900 + 2100 AS VARCHAR) END AS ref_c " +
+      "FROM r0), " +
+      "g AS (SELECT id, did, " +
+      // per-field flags in the engine's order: fields alphabetical, flags
+      // in namedFieldFlags order (repeat, trunc, alpha, zero-id, seq-id)
+      s"CAST(${trunc("description")} AS INT) AS d_trunc, " +
+      s"CAST(${alphaHit("description")} AS INT) AS d_alpha, " +
+      s"CAST(regexp_matches(member_id, '$repeatedAlt') AS INT) AS m_rep, " +
+      s"CAST(${zeroId("regexp_replace(member_id, '[^0-9]', '', 'g')")} AS INT) AS m_zero, " +
+      s"CAST(${seqId("regexp_replace(member_id, '[^0-9]', '', 'g')")} AS INT) AS m_seq, " +
+      s"CAST(${alphaHit("notes")} AS INT) AS n_alpha, " +
+      s"CAST(${genName("patient_name")} AS INT) AS p_gen, " +
+      s"CAST(${alphaHit("patient_name")} AS INT) AS p_alpha, " +
+      s"CAST(${genName("provider_name")} AS INT) AS pr_gen, " +
+      s"CAST(${alphaHit("provider_name")} AS INT) AS pr_alpha, " +
+      // cross-field detectors over the full value list
+      "len(list_filter(list_distinct([x FOR x IN [trim(lower(patient_name)), trim(lower(provider_name)), " +
+      "trim(lower(notes)), trim(lower(description)), trim(lower(member_id)), " +
+      "trim(lower(ref_a)), trim(lower(ref_b)), trim(lower(ref_c))] IF length(x) > 2]), " +
+      "v -> len(list_filter([x FOR x IN [trim(lower(patient_name)), trim(lower(provider_name)), " +
+      "trim(lower(notes)), trim(lower(description)), trim(lower(member_id)), " +
+      "trim(lower(ref_a)), trim(lower(ref_b)), trim(lower(ref_c))] IF length(x) > 2], x -> x = v)) >= 3)) AS dup_groups, " +
+      "list_sort([n FOR n IN list_transform([regexp_replace(x, '[^0-9]', '', 'g') FOR x IN " +
+      "[trim(lower(patient_name)), trim(lower(provider_name)), trim(lower(notes)), trim(lower(description)), " +
+      "trim(lower(member_id)), trim(lower(ref_a)), trim(lower(ref_b)), trim(lower(ref_c))] IF length(x) > 2], " +
+      "d -> TRY_CAST(d AS BIGINT)) IF n IS NOT NULL AND n > 0 AND n < 1000000]) AS ints " +
+      "FROM f), " +
+      "h AS (SELECT id, did, d_trunc, d_alpha, m_rep, m_zero, m_seq, n_alpha, p_gen, p_alpha, pr_gen, pr_alpha, dup_groups, " +
+      "CASE WHEN len(ints) < 3 THEN 0 ELSE len([k FOR k IN range(1, len(ints) - 1) " +
+      "IF ints[k+1] = ints[k] + 1 AND ints[k+2] = ints[k] + 2]) END AS triples FROM g) " +
+      "SELECT did AS doc_id, " +
+      "CAST(m_zero AS INT) AS n_critical, " +
+      "CAST(m_seq + p_gen + pr_gen + dup_groups AS INT) AS n_high, " +
+      "CAST(d_trunc + d_alpha + m_rep + n_alpha + p_alpha + pr_alpha + triples AS INT) AS n_medium, " +
+      "least(CAST(1.0 AS DOUBLE), " +
+      // coefficients forced to DOUBLE so the additions accumulate in
+      // IEEE like the Scala fold (DuckDB decimal literals would sum exactly)
+      "CAST(0.3 AS DOUBLE) * d_trunc + CAST(0.3 AS DOUBLE) * d_alpha + CAST(0.3 AS DOUBLE) * m_rep + CAST(0.8 AS DOUBLE) * m_zero + CAST(0.5 AS DOUBLE) * m_seq + CAST(0.3 AS DOUBLE) * n_alpha + CAST(0.5 AS DOUBLE) * p_gen + CAST(0.3 AS DOUBLE) * p_alpha + CAST(0.5 AS DOUBLE) * pr_gen + CAST(0.3 AS DOUBLE) * pr_alpha + CAST(0.5 AS DOUBLE) * dup_groups + CAST(0.3 AS DOUBLE) * triples) AS suspicion, " +
+      "least(CAST(1.0 AS DOUBLE), " +
+      "CAST(0.3 AS DOUBLE) * d_trunc + CAST(0.3 AS DOUBLE) * d_alpha + CAST(0.3 AS DOUBLE) * m_rep + CAST(0.8 AS DOUBLE) * m_zero + CAST(0.5 AS DOUBLE) * m_seq + CAST(0.3 AS DOUBLE) * n_alpha + CAST(0.5 AS DOUBLE) * p_gen + CAST(0.3 AS DOUBLE) * p_alpha + CAST(0.5 AS DOUBLE) * pr_gen + CAST(0.3 AS DOUBLE) * pr_alpha + CAST(0.5 AS DOUBLE) * dup_groups + CAST(0.3 AS DOUBLE) * triples) >= 0.7 AS is_likely_hallucination " +
+      "FROM h ORDER BY doc_id"
+  }
+
   val all: Map[String, String] = Map(
     "x14_cross_field" -> x14, "x15_confidence" -> x15, "x16_critic" -> x16,
-    "x17_golden_eval" -> x17, "x18_field_f1" -> x18,
+    "x17_golden_eval" -> x17, "x18_field_f1" -> x18, "x19_record_suspicion" -> x19,
     "x01_spans" -> x01, "x02_span_stats" -> x02, "x03_modality" -> x03,
     "x04_table_rows" -> x04, "x05_media_quality" -> x05, "x06_reconcile" -> x06,
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,

@@ -80,6 +80,7 @@ object SparkEntry {
     "x16_critic" -> (ExtractionQ.x16Critic _),
     "x17_golden_eval" -> (ExtractionQ.x17GoldenEval _),
     "x18_field_f1" -> (ExtractionQ.x18FieldF1 _),
+    "x19_record_suspicion" -> (ExtractionQ.x19RecordSuspicion _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _),

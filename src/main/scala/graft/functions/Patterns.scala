@@ -79,6 +79,111 @@ object Patterns {
     (asc || desc) && ds.length == value.trim.length
   }
 
+  // ---- field-name predicates (pattern_detector.py:960-1004) ----
+
+  private def anyIn(name: String, inds: Seq[String]): Boolean = {
+    val l = if (name == null) "" else name.toLowerCase
+    inds.exists(l.contains)
+  }
+  def isNameField(f: String): Boolean =
+    anyIn(f, Seq("name", "patient", "provider", "physician", "subscriber"))
+  def isAddressField(f: String): Boolean =
+    anyIn(f, Seq("address", "street", "city", "addr", "location"))
+  def isDateField(f: String): Boolean =
+    anyIn(f, Seq("date", "dob", "birth", "service", "admission", "discharge"))
+  def isCurrencyField(f: String): Boolean =
+    anyIn(f, Seq("amount", "charge", "payment", "cost", "fee", "price", "total"))
+  def isIdentifierField(f: String): Boolean =
+    anyIn(f, Seq("id", "number", "npi", "ssn", "ein", "member", "policy", "claim"))
+  def isTextField(f: String): Boolean =
+    anyIn(f, Seq("name", "description", "notes", "comments", "address"))
+
+  /** Truncation indicators (pattern_detector.py:769-795). */
+  def isTruncated(value: String): Boolean =
+    value != null && Seq("...", "…", "---", "___").exists(value.endsWith)
+
+  /** Alphabetic run sequences like abcd (pattern_detector.py:797-826;
+    * caller gates on isTextField).
+    */
+  def hasAlphabeticSequence(value: String): Boolean = {
+    if (value == null) return false
+    val alpha = value.toLowerCase.filter(c => c >= 'a' && c <= 'z')
+    alpha.length >= 4 &&
+      (alpha.contains("abcd") || alpha.contains("efgh") || alpha.contains("lmno"))
+  }
+
+  /** All-zero identifier digits, >= 5 digits (pattern_detector.py:828-848). */
+  def isAllZeroIdentifier(value: String): Boolean = {
+    if (value == null) return false
+    val ds = value.filter(_.isDigit)
+    ds.length >= 5 && ds.forall(_ == '0')
+  }
+
+  /** Ascending sequential identifier digits, >= 5 (pattern_detector.py:850-868). */
+  def isSequentialIdentifier(value: String): Boolean = {
+    if (value == null) return false
+    val ds = value.filter(_.isDigit)
+    ds.length >= 5 && (1 until ds.length).forall(i => ds(i) - ds(i - 1) == 1)
+  }
+
+  /** Per-field flags with field-name gating — the full
+    * _check_field_patterns ladder (generic name/address gated by field
+    * kind, alpha sequences by text fields, identifier patterns by id
+    * fields; placeholder/test-data/repetition/truncation ungated).
+    */
+  def namedFieldFlags(field: String, value: String): Seq[String] = {
+    var flags = List.empty[String]
+    if (isPlaceholder(value)) flags ::= "critical"
+    if (isNameField(field) && isGenericName(value)) flags ::= "high"
+    if (isAddressField(field) && isGenericAddress(value)) flags ::= "high"
+    if (isTestData(value)) flags ::= "high"
+    if (hasRepeatedDigits(value)) flags ::= "medium"
+    if (isTruncated(value)) flags ::= "medium"
+    if (isTextField(field) && hasAlphabeticSequence(value)) flags ::= "medium"
+    if (isIdentifierField(field)) {
+      if (isAllZeroIdentifier(value)) flags ::= "critical"
+      if (isSequentialIdentifier(value)) flags ::= "high"
+    }
+    flags.reverse
+  }
+
+  /** Cross-field flags (pattern_detector.py:385-441): the same non-trivial
+    * value in >= 3 fields (high, once per value group) and sorted numeric
+    * triples n, n+1, n+2 across fields (medium, once per window).
+    */
+  def crossFieldFlags(data: Map[String, String]): Seq[String] = {
+    val strValues = data.collect {
+      case (k, v) if v != null && v.trim.nonEmpty => k -> v.trim.toLowerCase
+    }
+    val repeated = strValues.values.filter(_.length > 2)
+      .groupBy(identity).count(_._2.size >= 3)
+    val ints = strValues.values.toSeq
+      .flatMap { v =>
+        val ds = v.filter(_.isDigit)
+        if (ds.isEmpty) None
+        else try {
+          val n = ds.toLong
+          if (n > 0 && n < 1000000) Some(n) else None
+        } catch { case _: Exception => None }
+      }
+      .sorted
+    val triples =
+      if (ints.length < 3) 0
+      else (0 until ints.length - 2).count(i =>
+        ints(i + 1) == ints(i) + 1 && ints(i + 2) == ints(i) + 2)
+    Seq.fill(repeated)("high") ++ Seq.fill(triples)("medium")
+  }
+
+  /** Full record suspicion: per-field gated flags + cross-field flags,
+    * severity-weighted and capped at 1 (pattern_detector.py:885-918).
+    */
+  def recordFlags(data: Map[String, String]): Seq[String] =
+    data.toSeq.sortBy(_._1).flatMap { case (f, v) => namedFieldFlags(f, v) } ++
+      crossFieldFlags(data)
+
+  def recordSuspicion(data: Map[String, String]): Double =
+    math.min(1.0, recordFlags(data).map(severityWeights.getOrElse(_, 0.0)).sum)
+
   /** Severity weights (pattern_detector.py:225-232). */
   val severityWeights: Map[String, Double] =
     Map("low" -> 0.1, "medium" -> 0.3, "high" -> 0.5, "critical" -> 0.8)

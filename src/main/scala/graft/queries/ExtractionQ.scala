@@ -485,6 +485,58 @@ object ExtractionQ {
         (col("tp") * 2 + col("fp") + col("fn")))
       .orderBy("field")
 
+  /** Deterministic named-field records for the full hallucination detector:
+    * planted anomalies per detector — generic name every 53rd doc,
+    * cross-field duplicate value every 47th, alphabetic sequence every
+    * 41st, truncation every 43rd, all-zero identifier every 31st,
+    * sequential identifier every 37th, sequential cross-field triple every
+    * 61st (all id arithmetic; OracleX mirrors).
+    */
+  private[queries] def recordFields(id: Long): Map[String, String] = Map(
+    "patient_name" -> (if (id % 53 == 0) "john doe"
+      else if (id % 47 == 0) "dup value"
+      else "alice " + "pqrstuv".charAt((id % 7).toInt)),
+    "provider_name" -> (if (id % 47 == 0) "dup value"
+      else "bob " + "vwxyz".charAt((id % 5).toInt)),
+    "notes" -> (if (id % 47 == 0) "dup value"
+      else if (id % 41 == 0) "see abcd list"
+      else "note " + "abcdefghijk".charAt((id % 11).toInt)),
+    "description" -> (if (id % 43 == 0) "partial text..."
+      else "full text " + "abcdefghijklm".charAt((id % 13).toInt)),
+    "member_id" -> (if (id % 31 == 0) "00000"
+      else if (id % 37 == 0) "M34567"
+      else "M" + (id * 7 % 100000)),
+    "ref_a" -> (if (id % 61 == 0) "101" else (id * 3 % 900 + 100).toString),
+    "ref_b" -> (if (id % 61 == 0) "102" else (id * 5 % 900 + 1100).toString),
+    "ref_c" -> (if (id % 61 == 0) "103" else (id * 9 % 900 + 2100).toString))
+
+  /** Full hallucination detector over named-field records
+    * (pattern_detector.py:340-918): field-name-gated per-field checks
+    * (generic names, alphabetic sequences on text fields, truncation,
+    * all-zero / sequential identifiers) plus the cross-field repetition and
+    * sequential-triple detectors, severity-weighted into a record suspicion.
+    */
+  def x19RecordSuspicion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val data = recordFields(id)
+          val flags = Patterns.recordFlags(data)
+          val susp = Patterns.recordSuspicion(data)
+          (graft.tokenize.DocGen.docIdStr(id),
+            flags.count(_ == "critical"), flags.count(_ == "high"),
+            flags.count(_ == "medium"), susp,
+            susp >= Patterns.hallucinationThreshold)
+        }
+      }
+      .toDF("doc_id", "n_critical", "n_high", "n_medium", "suspicion",
+        "is_likely_hallucination")
+      .orderBy("doc_id")
+  }
+
   /** Cross-field sum rule over reconstructed tables: data-row amounts must
     * sum to the total row within 0.01 (cross_field.py nested-sum rule).
     */

@@ -9,6 +9,50 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CodesPatternsSpec extends AnyFunSuite {
 
+  test("field-name predicates gate the detector (pattern_detector.py:960-1004)") {
+    assert(Patterns.isNameField("patient_name") && Patterns.isNameField("Subscriber"))
+    assert(!Patterns.isNameField("total_charges"))
+    assert(Patterns.isAddressField("billing_address") && !Patterns.isAddressField("notes"))
+    assert(Patterns.isDateField("service_date_from") && Patterns.isDateField("dob"))
+    assert(Patterns.isCurrencyField("total_charges") && !Patterns.isCurrencyField("npi"))
+    assert(Patterns.isIdentifierField("member_id") && Patterns.isIdentifierField("claim_number"))
+    assert(Patterns.isTextField("description") && !Patterns.isTextField("ref_a"))
+  }
+
+  test("truncation / alphabetic-sequence / identifier detectors") {
+    assert(Patterns.isTruncated("cut off here..."))
+    assert(Patterns.isTruncated("dash end---") && Patterns.isTruncated("u end___"))
+    assert(!Patterns.isTruncated("complete value"))
+    assert(Patterns.hasAlphabeticSequence("see ABCD list"))
+    assert(Patterns.hasAlphabeticSequence("xx efgh yy") && Patterns.hasAlphabeticSequence("lmnop"))
+    assert(!Patterns.hasAlphabeticSequence("abc")) // < 4 alpha chars
+    assert(!Patterns.hasAlphabeticSequence("regular text"))
+    assert(Patterns.isAllZeroIdentifier("00000") && Patterns.isAllZeroIdentifier("0-0000-0"))
+    assert(!Patterns.isAllZeroIdentifier("0000")) // < 5 digits
+    assert(!Patterns.isAllZeroIdentifier("00001"))
+    assert(Patterns.isSequentialIdentifier("12345") && Patterns.isSequentialIdentifier("M34567"))
+    assert(!Patterns.isSequentialIdentifier("54321")) // ascending only (ref :850)
+    assert(!Patterns.isSequentialIdentifier("1234"))
+  }
+
+  test("named-field flags apply gates; record suspicion sums cross-field too") {
+    // generic name fires only on name fields
+    assert(Patterns.namedFieldFlags("patient_name", "john doe") == Seq("high"))
+    assert(Patterns.namedFieldFlags("ref_a", "john doe").isEmpty)
+    // identifier checks fire only on id fields
+    assert(Patterns.namedFieldFlags("member_id", "00000") == Seq("medium", "critical"))
+    assert(Patterns.namedFieldFlags("notes", "00000") == Seq("medium")) // repetition only
+    // cross-field: same value in 3 fields -> one high; triple -> one medium
+    val rec = Map("a_notes" -> "dup value", "b_notes" -> "dup value",
+      "c_notes" -> "dup value", "ref_x" -> "101", "ref_y" -> "102", "ref_z" -> "103")
+    val flags = Patterns.crossFieldFlags(rec)
+    assert(flags.count(_ == "high") == 1 && flags.count(_ == "medium") == 1)
+    assert(Patterns.recordSuspicion(rec) == math.min(1.0, 0.5 + 0.3))
+    // overlapping sequences produce one match per window (ref :885-918 sum)
+    val seq4 = Map("r1" -> "201", "r2" -> "202", "r3" -> "203", "r4" -> "204")
+    assert(Patterns.crossFieldFlags(seq4).count(_ == "medium") == 2)
+  }
+
   test("NPI modified Luhn (80840 prefix)") {
     assert(Codes.validateNpi("1234567893"))        // validators.py docstring golden
     assert(!Codes.validateNpi("1234567890"))       // bad checksum
