@@ -525,9 +525,71 @@ object OracleX {
       "FROM h ORDER BY doc_id"
   }
 
+  // ---- code validators (x20) + fax signals (x21) ----
+
+  val x20: String = {
+    val carcPat = "^(CO|CR|OA|PI|PR)?([A-Z]?[0-9]{1,3})$"
+    val rarcPat = "^(MA|M|N)([0-9]{1,3})$"
+    "WITH c0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did FROM documents), " +
+      "f AS (SELECT id, did, " +
+      "['25','LT','ZZ','5X','-59','1'][CAST(id % 6 AS INT) + 1] AS modifier, " +
+      "['207Q00000X','207q00000x','12345','ABCD567890'][CAST(id % 4 AS INT) + 1] AS taxonomy, " +
+      "['45','CO-45','PR 3','B45','XX45','4567'][CAST(id % 6 AS INT) + 1] AS carc, " +
+      "['MA01','N1','M12','ma 130','X1','MA1234'][CAST(id % 6 AS INT) + 1] AS rarc FROM c0), " +
+      "g AS (SELECT *, regexp_replace(upper(trim(modifier)), '^-+', '') AS mod_n, " +
+      "upper(trim(taxonomy)) AS taxo_n, " +
+      "regexp_replace(upper(trim(carc)), '[-\\s]+', '', 'g') AS carc_n, " +
+      "regexp_replace(upper(trim(rarc)), '[-\\s]+', '', 'g') AS rarc_n FROM f) " +
+      "SELECT did AS doc_id, modifier, " +
+      "regexp_matches(mod_n, '^[A-Z0-9]{2}$') AS modifier_format_ok, " +
+      "regexp_matches(mod_n, '^[A-Z0-9]{2}$') AND " +
+      s"list_contains(${sqlStrSet(graft.functions.Codes.validModifiers)}, mod_n) AS modifier_known, " +
+      "taxonomy, length(taxo_n) = 10 AND regexp_matches(taxo_n, '^[0-9]{2}[0-9A-Z]{8}$') AS taxonomy_ok, " +
+      "carc, " +
+      s"CASE WHEN regexp_matches(carc_n, '$carcPat') THEN " +
+      s"(CASE WHEN regexp_extract(carc_n, '$carcPat', 1) <> '' " +
+      s"THEN regexp_extract(carc_n, '$carcPat', 1) || '-' || regexp_extract(carc_n, '$carcPat', 2) " +
+      s"ELSE regexp_extract(carc_n, '$carcPat', 2) END) ELSE NULL END AS carc_norm, " +
+      "rarc, " +
+      s"CASE WHEN regexp_matches(rarc_n, '$rarcPat') THEN " +
+      s"regexp_extract(rarc_n, '$rarcPat', 1) || regexp_extract(rarc_n, '$rarcPat', 2) ELSE NULL END AS rarc_norm, " +
+      s"CASE WHEN regexp_matches(rarc_n, '$rarcPat') THEN " +
+      s"(CASE regexp_extract(rarc_n, '$rarcPat', 1) WHEN 'MA' THEN 'Alert' " +
+      "WHEN 'M' THEN 'Modified' ELSE 'Supplemental' END) ELSE NULL END AS rarc_category " +
+      "FROM g ORDER BY doc_id"
+  }
+
+  val x21: String = recon() +
+    s", m AS (SELECT id, did, unnest($mediaNums) AS x FROM recon) " +
+    "SELECT did AS doc_id, " +
+    "'s3://graft-corpus/media/' || CAST(x.s AS VARCHAR) || '/' || did || '_' || CAST(x.i AS VARCHAR) || '.png' AS media_ref, " +
+    "((x.s + 3 * x.i) % 5 = 0) AS is_one_bit, " +
+    "((x.s + 2 * x.i) % 7 = 0 OR (x.s + x.i) % 11 = 0) AS is_ccitt, " +
+    "coalesce(array_to_string(" +
+    "CASE WHEN (x.s + 3 * x.i) % 5 = 0 THEN ['1-bit-image'] ELSE CAST([] AS VARCHAR[]) END " +
+    "|| CASE WHEN (x.s + 2 * x.i) % 7 = 0 THEN ['ccitt-fax-encoded'] ELSE CAST([] AS VARCHAR[]) END " +
+    "|| CASE WHEN (x.s + x.i) % 11 = 0 THEN ['jbig2-encoded'] ELSE CAST([] AS VARCHAR[]) END, ','), '') AS fax_signals " +
+    "FROM m ORDER BY doc_id, media_ref"
+
+  /** Segment fold as a window (splitter.py:290-332 mirror). */
+  val x22: String =
+    "WITH p0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did FROM documents), " +
+      "pages AS (SELECT id, did, CAST(unnest(range(1, CAST(id % 9 + 1 AS INT) + 1)) AS INT) AS page FROM p0), " +
+      "f AS (SELECT id, did, page, (page > 1 AND (id*31 + page*7) % 5 = 0) AS is_new, " +
+      "['cms1500','ub04','eob','unknown'][CAST((id + page) % 4 AS INT) + 1] AS doc_type, " +
+      "(id*11 + page*3) % 101 AS conf_pct FROM pages), " +
+      "s AS (SELECT *, SUM(CASE WHEN page = 1 OR is_new THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY id ORDER BY page) AS segment FROM f) " +
+      "SELECT did AS doc_id, CAST(segment AS INT) AS segment, " +
+      "min(page) AS start_page, max(page) AS end_page, " +
+      "arg_min(doc_type, page) AS document_type, count(*) AS n_pages, " +
+      "CAST(SUM(conf_pct) AS DOUBLE) / count(*) / 100.0 AS confidence " +
+      "FROM s GROUP BY did, segment ORDER BY doc_id, segment"
+
   val all: Map[String, String] = Map(
     "x14_cross_field" -> x14, "x15_confidence" -> x15, "x16_critic" -> x16,
     "x17_golden_eval" -> x17, "x18_field_f1" -> x18, "x19_record_suspicion" -> x19,
+    "x20_code_checks" -> x20, "x21_fax_signals" -> x21, "x22_doc_segments" -> x22,
     "x01_spans" -> x01, "x02_span_stats" -> x02, "x03_modality" -> x03,
     "x04_table_rows" -> x04, "x05_media_quality" -> x05, "x06_reconcile" -> x06,
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,

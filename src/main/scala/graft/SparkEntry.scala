@@ -81,6 +81,9 @@ object SparkEntry {
     "x17_golden_eval" -> (ExtractionQ.x17GoldenEval _),
     "x18_field_f1" -> (ExtractionQ.x18FieldF1 _),
     "x19_record_suspicion" -> (ExtractionQ.x19RecordSuspicion _),
+    "x20_code_checks" -> (ExtractionQ.x20CodeChecks _),
+    "x21_fax_signals" -> (ExtractionQ.x21FaxSignals _),
+    "x22_doc_segments" -> (ExtractionQ.x22DocSegments _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _),

@@ -250,22 +250,41 @@ object ExtractionQ {
     * at any scale and parallelism: ordered by doc_id before the 10k cap, so
     * the fitted params — and every downstream output — are run-independent
     * (the reference caps its calibration points the same way).
+    *
+    * Calibrators are PER-PROFILE (calibration.py:533-580's per-
+    * (profile, tenant) partitioning): each profile key gets its own
+    * isotonic + Platt fit from its slice of the bounded sample; rows apply
+    * their own profile's calibrator. At 10^12 docs the sample stays one
+    * bounded collect — profile count, not corpus size, drives fit cost.
     */
   def x11Calibration(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Calibration
-    val scored = scoredAll(spark, dir).persist()
+    val scored = scoredAll(spark, dir)
+      .withColumn("profile", substring(col("doc_id"), 5, 9).cast("long") % 3)
+      .persist()
     val sample = scored.orderBy("doc_id").limit(10000)
-      .select(col("suspicion"), col("label"))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
-    val iso = Calibration.fitIsotonic(sample)
-    val platt = Calibration.fitPlatt(sample)
-    val isoUdf = udf { (x: Double) => iso(x) }
-    val plattUdf = udf { (x: Double) => Calibration.applyPlatt(platt, x) }
+      .select(col("profile"), col("suspicion"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val byProfile = sample.groupBy(_._1).map { case (p, rows) =>
+      val pts = rows.map(r => (r._2, r._3))
+      p -> (Calibration.fitIsotonic(pts), Calibration.fitPlatt(pts))
+    }
+    val fallback = {
+      val pts = sample.map(r => (r._2, r._3))
+      (Calibration.fitIsotonic(pts), Calibration.fitPlatt(pts))
+    }
+    val isoUdf = udf { (p: Long, x: Double) =>
+      byProfile.getOrElse(p, fallback)._1(x)
+    }
+    val plattUdf = udf { (p: Long, x: Double) =>
+      Calibration.applyPlatt(byProfile.getOrElse(p, fallback)._2, x)
+    }
     val linUdf = udf { (x: Double) => Calibration.applyLinear(x) }
     scored
-      .select(col("doc_id"), col("suspicion").as("raw_score"), col("label"),
-        isoUdf(col("suspicion")).as("isotonic"),
-        plattUdf(col("suspicion")).as("platt"),
+      .select(col("doc_id"), col("profile"), col("suspicion").as("raw_score"),
+        col("label"),
+        isoUdf(col("profile"), col("suspicion")).as("isotonic"),
+        plattUdf(col("profile"), col("suspicion")).as("platt"),
         linUdf(col("suspicion")).as("linear"))
       .orderBy("doc_id")
   }
@@ -535,6 +554,99 @@ object ExtractionQ {
       .toDF("doc_id", "n_critical", "n_high", "n_medium", "suspicion",
         "is_likely_hallucination")
       .orderBy("doc_id")
+  }
+
+  /** Modifier / taxonomy / CARC / RARC validator surface
+    * (medical_codes.py VALID_MODIFIERS; validators.py:502-560, 763-830,
+    * 1356-1430, 1811-1890): id-derived code fields run through the
+    * broadcast-whitelist + format validators; planted samples cover valid,
+    * format-valid-unknown and invalid classes of each code system.
+    */
+  def x20CodeChecks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Codes
+    val mods = Array("25", "LT", "ZZ", "5X", "-59", "1")
+    val taxos = Array("207Q00000X", "207q00000x", "12345", "ABCD567890")
+    val carcs = Array("45", "CO-45", "PR 3", "B45", "XX45", "4567")
+    val rarcs = Array("MA01", "N1", "M12", "ma 130", "X1", "MA1234")
+    load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val mod = mods((id % 6).toInt)
+          val (fmtOk, known) = Codes.checkModifier(mod)
+          val taxo = taxos((id % 4).toInt)
+          val carc = carcs((id % 6).toInt)
+          val rarc = rarcs((id % 6).toInt)
+          val rarcNorm = Codes.normalizeRarc(rarc)
+          (graft.tokenize.DocGen.docIdStr(id),
+            mod, fmtOk, known,
+            taxo, Codes.validTaxonomy(taxo),
+            carc, Codes.normalizeCarc(carc).orNull,
+            rarc, rarcNorm.map(_._1).orNull, rarcNorm.map(_._2).orNull)
+        }
+      }
+      .toDF("doc_id", "modifier", "modifier_format_ok", "modifier_known",
+        "taxonomy", "taxonomy_ok", "carc", "carc_norm",
+        "rarc", "rarc_norm", "rarc_category")
+      .orderBy("doc_id")
+  }
+
+  /** Fax-signal stream inspection columns (pdf_processor.py:561-629):
+    * is_one_bit / is_ccitt / signal tokens per embedded media stream —
+    * the PageImage fax columns feeding downstream fax handling.
+    */
+  def x21FaxSignals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    rawDocs(spark, dir)
+      .flatMap(d => d.spans.filter(_.media_ref.nonEmpty)
+        .map(s => (d.doc_id, s.media_ref)))
+      .mapPartitions { it =>
+        it.map { case (docId, ref) =>
+          val f = SpanTokenizer.fakeInspectStreams(ref)
+          (docId, ref, f.isOneBit, f.isCcitt, f.signals.mkString(","))
+        }
+      }
+      .toDF("doc_id", "media_ref", "is_one_bit", "is_ccitt", "fax_signals")
+      .orderBy("doc_id", "media_ref")
+  }
+
+  /** Document segment building (splitter.py:290-332): per-page
+    * is_new_document flags fold into (start_page, end_page) segments
+    * carrying the first page's document type and the mean page confidence —
+    * distributed as a running-flag-sum window + groupBy (the sessionization
+    * shape), never a driver-side fold. Confidence is averaged in the exact
+    * integer domain (sum of percent points / pages / 100) so the result is
+    * summation-order-independent.
+    */
+  def x22DocSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pages = load(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"))
+      .withColumn("page", explode(sequence(lit(1), (col("id") % 9 + 1).cast("int"))))
+      .withColumn("is_new",
+        col("page") > 1 && (col("id") * 31 + col("page") * 7) % 5 === 0)
+      .withColumn("doc_type",
+        element_at(array(lit("cms1500"), lit("ub04"), lit("eob"), lit("unknown")),
+          ((col("id") + col("page")) % 4 + 1).cast("int")))
+      .withColumn("conf_pct", (col("id") * 11 + col("page") * 3) % 101)
+    val w = Window.partitionBy(col("id")).orderBy(col("page"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pages
+      .withColumn("segment",
+        sum((col("page") === 1 || col("is_new")).cast("int")).over(w))
+      .groupBy(col("id"), col("segment"))
+      .agg(
+        min(col("page")).as("start_page"),
+        max(col("page")).as("end_page"),
+        min_by(col("doc_type"), col("page")).as("document_type"),
+        count(lit(1)).as("n_pages"),
+        (sum(col("conf_pct")).cast("double") / count(lit(1)) / 100.0).as("confidence"))
+      .select(concat(lit("doc_"), lpad(col("id").cast("string"), 9, "0")).as("doc_id"),
+        col("segment").cast("int").as("segment"), col("start_page"), col("end_page"),
+        col("document_type"), col("n_pages"), col("confidence"))
+      .orderBy("doc_id", "segment")
   }
 
   /** Cross-field sum rule over reconstructed tables: data-row amounts must

@@ -167,6 +167,26 @@ object SpanTokenizer {
     MediaMeta(width, height, format, nFrames)
   }
 
+  /** STUB — fax-signal stream inspection (pdf_processor.py:561-629):
+    * production reads the XObject dictionaries for BitsPerComponent 1 /
+    * CCITTFaxDecode / JBIG2Decode; the fake derives the flags from the
+    * media_ref's (shard, index) so the Spark plumbing and the SQL oracle
+    * agree. Signal tokens and the is_ccitt = ccitt-or-jbig2 folding mirror
+    * the reference exactly.
+    */
+  final case class FaxSignals(isOneBit: Boolean, isCcitt: Boolean, signals: Seq[String])
+
+  def fakeInspectStreams(mediaRef: String): FaxSignals = {
+    val (s, i) = refNums(mediaRef)
+    val oneBit = (s + 3 * i) % 5 == 0
+    val ccitt = (s + 2 * i) % 7 == 0
+    val jbig2 = (s + i) % 11 == 0
+    val signals = (if (oneBit) Seq("1-bit-image") else Nil) ++
+      (if (ccitt) Seq("ccitt-fax-encoded") else Nil) ++
+      (if (jbig2) Seq("jbig2-encoded") else Nil)
+    FaxSignals(oneBit, ccitt || jbig2, signals)
+  }
+
   /** Resize-to-fit plan preserving aspect ratio (max side -> target). */
   def resizeFit(w: Int, h: Int, target: Int): (Int, Int) = {
     if (w <= 0 || h <= 0) return (0, 0)
