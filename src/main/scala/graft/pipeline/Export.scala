@@ -34,4 +34,34 @@ object Export {
   /** Parquet export of the flat table (the analytics-facing sink). */
   def writeFlatParquet(docs: Dataset[ExtractedDoc], outDir: String): Unit =
     flatSpans(docs).write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** Markdown rendering of one extracted document (reference
+    * src/export/markdown_exporter.py shape: heading levels, paragraph
+    * blocks, figures as links, table cells inline) — a pure row formatter,
+    * distributable with `.map(renderMarkdown)` over the typed Dataset.
+    */
+  def renderMarkdown(doc: ExtractedDoc): String = {
+    val sb = new StringBuilder(s"# ${doc.doc_id}\n")
+    doc.spans.foreach { s =>
+      s.kind match {
+        case "heading" => sb.append(s"\n## ${s.text}\n")
+        case "figure" => sb.append(s"\n![media](${s.media_ref})\n")
+        case "table_cell" => sb.append(s"| ${s.text} ")
+        case "error" => sb.append(s"\n> ERROR: ${s.text}\n")
+        case _ => sb.append(s"\n${s.text}\n")
+      }
+    }
+    sb.append('\n').toString
+  }
+
+  /** Markdown export: one .md document per row, written as (doc_id, md)
+    * text-friendly parquet (single markdown files per doc would be the
+    * classic small-files failure at corpus scale; consumers slice by id).
+    */
+  def writeMarkdown(docs: Dataset[ExtractedDoc], outDir: String): Unit = {
+    import docs.sparkSession.implicits._
+    docs.map(d => (d.doc_id, renderMarkdown(d)))
+      .toDF("doc_id", "markdown")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
 }

@@ -17,6 +17,13 @@ object StreamingQ {
 
   /** Hourly tumbling-window counts computed by a streaming query; returns the
     * final (complete-mode) result as a batch DataFrame. Batch twin: q17.
+    *
+    * DEMO SHAPE, deliberately: complete mode retains every window in state
+    * and the memory sink collects to the driver — correct on the finite
+    * replay, unbounded on an endless stream. The production variant is s03
+    * (watermark + append: closed-window state dropped, bounded sink); s01
+    * exists to pin the window-aggregation semantics against the q17 batch
+    * oracle end-to-end.
     */
   def s01StreamHourly(spark: SparkSession, dir: String): DataFrame = {
     val schema = load(spark, dir, "events").schema

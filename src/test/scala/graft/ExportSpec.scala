@@ -44,6 +44,24 @@ class ExportSpec extends AnyFunSuite {
     assert(back.columns.contains("spans"))
   }
 
+  test("markdown export renders headings/figures/cells and round-trips") {
+    import graft.model.{Doc, ExtractedDoc, Span}
+    val doc = ExtractedDoc("doc_x", Seq(
+      Span("heading", "Title Here", "", 0),
+      Span("text", "Body paragraph.", "", 1),
+      Span("table_cell", "42", "", 2),
+      Span("figure", "", "s3://m/1.png", 3)),
+      4, 0, Seq("printed"), Seq("tokenize:v1"))
+    val md = Export.renderMarkdown(doc)
+    assert(md.startsWith("# doc_x\n"))
+    assert(md.contains("\n## Title Here\n") && md.contains("\nBody paragraph.\n"))
+    assert(md.contains("| 42 ") && md.contains("![media](s3://m/1.png)"))
+    val out = Files.createTempDirectory("graft_export_md").toString
+    Export.writeMarkdown(extracted, s"$out/md")
+    val back = spark.read.parquet(s"$out/md")
+    assert(back.count() == 50 && back.columns.toSet == Set("doc_id", "markdown"))
+  }
+
   test("flat parquet export matches the flat DataFrame exactly") {
     val out = Files.createTempDirectory("graft_export_p").toString
     Export.writeFlatParquet(extracted, s"$out/flat")
