@@ -571,6 +571,94 @@ object OracleX {
     "|| CASE WHEN (x.s + x.i) % 11 = 0 THEN ['jbig2-encoded'] ELSE CAST([] AS VARCHAR[]) END, ','), '') AS fax_signals " +
     "FROM m ORDER BY doc_id, media_ref"
 
+  /** Document-metadata header projection (x23 mirror). */
+  val x23: String =
+    "WITH d0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did, " +
+      "doc_id % 6 AS mix, text FROM documents) " +
+      "SELECT did AS doc_id, sha256(text) AS content_sha256, " +
+      "CAST(1 + CAST(mix <= 3 AS INT) + CAST(mix % 2 = 0 AS INT) " +
+      "+ CAST(mix % 3 = 0 AS INT) + CAST(mix = 5 AS INT) " +
+      "+ CAST(id % 7 = 3 AS INT) + CAST(id % 7 = 5 AS INT) " +
+      "+ CAST(id % 11 = 7 AS INT) " +
+      "+ CASE WHEN id % 997 = 0 THEN 110 ELSE 0 END AS INT) AS n_raw_spans, " +
+      "array_to_string(list_sort(" +
+      "CASE WHEN id % 11 = 7 THEN ['dicom'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| CASE WHEN id % 7 = 3 THEN ['docx'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| CASE WHEN mix = 5 THEN ['edi'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| ['html'] " +
+      "|| CASE WHEN mix % 3 = 0 OR id % 997 = 0 THEN ['media'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| CASE WHEN mix <= 3 OR id % 997 = 0 THEN ['pdf_text'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| CASE WHEN id % 7 = 5 THEN ['sheet'] ELSE CAST([] AS VARCHAR[]) END " +
+      "|| CASE WHEN mix % 2 = 0 THEN ['table_raw'] ELSE CAST([] AS VARCHAR[]) END), ',') AS raw_kinds, " +
+      "(mix % 2 = 0) AS has_tables, " +
+      "(mix % 3 = 0 OR id % 11 = 7 OR id % 997 = 0) AS has_media, " +
+      "CAST(DATE '2019-01-01' + CAST(id % 1000 AS INT) AS VARCHAR) AS creation_date " +
+      "FROM d0 ORDER BY doc_id"
+
+  /** Tiebreaker-ladder outcomes per planted field pair (x24 mirror — the
+    * word-derived values never collide with the 'x'-suffixed variant or the
+    * placeholder by construction, so outcomes reduce to the id schedule).
+    */
+  val x24: String =
+    "WITH c0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did FROM documents), " +
+      "t AS (SELECT id, did, unnest([" +
+      "CASE WHEN id % 5 = 0 THEN 'single_pass' ELSE 'exact_agreement' END, " +
+      "CASE WHEN id % 3 = 0 THEN 'bbox_overlap' WHEN id % 4 = 0 THEN 'placeholder_penalty' ELSE 'last_resort' END, " +
+      "CASE WHEN id % 9 = 0 THEN 'both_missing' ELSE 'single_pass' END]) AS tiebreaker FROM c0) " +
+      "SELECT tiebreaker, count(*) AS n, count(DISTINCT did) AS n_docs " +
+      "FROM t GROUP BY 1 ORDER BY 1"
+
+  /** Run comparison: per-field F1 of candidate vs baseline over the same
+    * golden fixture (x25 mirror; reuses the x17 comparison expressions).
+    */
+  val x25: String = {
+    def isMatch(g: String, x: String): String =
+      "CASE match_level " +
+        s"WHEN 'exact' THEN $g = $x " +
+        s"WHEN 'normalized' THEN ${normSql(g)} = ${normSql(x)} " +
+        s"WHEN 'fuzzy' THEN ${ratioSql(normSql(g), normSql(x))} >= 0.85 " +
+        s"ELSE abs(${numSql(g)} - ${numSql(x)}) / abs(${numSql(g)}) <= 0.01 END"
+    "WITH g0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did, " +
+      "CASE WHEN length(trim(text)) = 0 THEN ['empty','document','body'] " +
+      "ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents), " +
+      "g1 AS (SELECT id, did, w, len(w) AS n, (id*97) % 90000 + 100 AS cents FROM g0), " +
+      "pairs AS (" +
+      // baseline extracted (x17 profile) and candidate extracted side by side
+      "SELECT id, 'claim_id' AS field, 'exact' AS match_level, did AS g, " +
+      "CASE WHEN id % 29 = 0 THEN substr(did, 5) ELSE did END AS xb, did AS xc FROM g1 " +
+      "UNION ALL SELECT id, 'patient_name', 'normalized', w[1] || ' ' || w[2], " +
+      "CASE WHEN id % 23 = 0 THEN (CASE WHEN n >= 5 THEN w[5] ELSE 'alt' END) " +
+      "WHEN id % 13 = 0 THEN upper(w[1]) || '  ' || upper(w[2]) " +
+      "ELSE w[1] || ' ' || w[2] END, " +
+      "CASE WHEN id % 11 = 0 THEN (CASE WHEN n >= 6 THEN w[6] ELSE 'other' END) " +
+      "ELSE w[1] || ' ' || w[2] END FROM g1 " +
+      "UNION ALL SELECT id, 'provider', 'fuzzy', w[3] || ' ' || w[4], " +
+      "CASE WHEN id % 17 = 0 THEN substr(w[3] || ' ' || w[4], 1, length(w[3] || ' ' || w[4]) - 1) " +
+      "ELSE w[3] || ' ' || w[4] END, " +
+      "CASE WHEN id % 31 = 0 THEN substr(w[3] || ' ' || w[4], 1, length(w[3] || ' ' || w[4]) - 1) " +
+      "ELSE w[3] || ' ' || w[4] END FROM g1 " +
+      s"UNION ALL SELECT id, 'total_charges', 'numeric', '$$' || ${centsStr("cents")}, " +
+      s"CASE WHEN id % 19 = 0 THEN ${centsStr("cents + cents // 5")} ELSE ${centsStr("cents")} END, " +
+      s"CASE WHEN id % 37 = 0 THEN ${centsStr("cents + cents // 5")} ELSE ${centsStr("cents")} END FROM g1), " +
+      "m AS (SELECT field, " +
+      s"CAST(${isMatch("g", "xb")} AS INT) AS mb, CAST(${isMatch("g", "xc")} AS INT) AS mc FROM pairs), " +
+      "agg AS (SELECT field, CAST(SUM(mb) AS BIGINT) AS tpb, CAST(SUM(1 - mb) AS BIGINT) AS eb, " +
+      "CAST(SUM(mc) AS BIGINT) AS tpc, CAST(SUM(1 - mc) AS BIGINT) AS ec FROM m GROUP BY 1) " +
+      "SELECT field, CAST(tpb AS DOUBLE) * 2 / (tpb * 2 + eb + eb) AS f1_baseline, " +
+      "CAST(tpc AS DOUBLE) * 2 / (tpc * 2 + ec + ec) AS f1_candidate, " +
+      "CAST(tpc AS DOUBLE) * 2 / (tpc * 2 + ec + ec) - CAST(tpb AS DOUBLE) * 2 / (tpb * 2 + eb + eb) AS delta, " +
+      "CASE WHEN CAST(tpc AS DOUBLE) * 2 / (tpc * 2 + ec + ec) - CAST(tpb AS DOUBLE) * 2 / (tpb * 2 + eb + eb) < -0.02 THEN 'regression' " +
+      "WHEN CAST(tpc AS DOUBLE) * 2 / (tpc * 2 + ec + ec) - CAST(tpb AS DOUBLE) * 2 / (tpb * 2 + eb + eb) > 0.02 THEN 'improvement' " +
+      "ELSE 'stable' END AS status " +
+      "FROM agg ORDER BY field"
+  }
+
+  /** Exact continuous length quantiles per language (d16 mirror). */
+  val d16: String =
+    "SELECT lang, quantile_cont(length(text), 0.5) AS median_len, " +
+      "quantile_cont(length(text), 0.9) AS p90_len, count(*) AS n_docs " +
+      "FROM documents GROUP BY lang ORDER BY lang"
+
   /** Segment fold as a window (splitter.py:290-332 mirror). */
   val x22: String =
     "WITH p0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did FROM documents), " +
@@ -590,6 +678,8 @@ object OracleX {
     "x14_cross_field" -> x14, "x15_confidence" -> x15, "x16_critic" -> x16,
     "x17_golden_eval" -> x17, "x18_field_f1" -> x18, "x19_record_suspicion" -> x19,
     "x20_code_checks" -> x20, "x21_fax_signals" -> x21, "x22_doc_segments" -> x22,
+    "x23_doc_metadata" -> x23, "x24_tiebreaker_stats" -> x24,
+    "x25_run_comparison" -> x25, "d16_length_quantiles" -> d16,
     "x01_spans" -> x01, "x02_span_stats" -> x02, "x03_modality" -> x03,
     "x04_table_rows" -> x04, "x05_media_quality" -> x05, "x06_reconcile" -> x06,
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,

@@ -84,6 +84,10 @@ object SparkEntry {
     "x20_code_checks" -> (ExtractionQ.x20CodeChecks _),
     "x21_fax_signals" -> (ExtractionQ.x21FaxSignals _),
     "x22_doc_segments" -> (ExtractionQ.x22DocSegments _),
+    "x23_doc_metadata" -> (ExtractionQ.x23DocMetadata _),
+    "x24_tiebreaker_stats" -> (ExtractionQ.x24TiebreakerStats _),
+    "x25_run_comparison" -> (ExtractionQ.x25RunComparison _),
+    "d16_length_quantiles" -> (DocumentsQ.d16LengthQuantiles _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _),

@@ -106,6 +106,34 @@ object Dates {
       d.getYear >= 1900 && !d.isAfter(asOf.plusDays(365L * 2))
     }
 
+  /** Age in whole years as of a date, adjusting for a birthday not yet
+    * reached (date_utils.py:214-250). None when the birth date is
+    * unparseable.
+    */
+  def calculateAge(birthDate: String, asOf: LocalDate): Option[Int] =
+    parseDate(birthDate).map { b =>
+      val raw = asOf.getYear - b.getYear
+      val beforeBirthday = asOf.getMonthValue < b.getMonthValue ||
+        (asOf.getMonthValue == b.getMonthValue && asOf.getDayOfMonth < b.getDayOfMonth)
+      if (beforeBirthday) raw - 1 else raw
+    }
+
+  /** Parse "start <sep> end" date ranges; the separator ladder and the
+    * single-date fallback mirror date_utils.py:118-157.
+    */
+  def parseDateRange(s: String): (Option[LocalDate], Option[LocalDate]) = {
+    if (s == null || s.isEmpty) return (None, None)
+    val seps = Seq(" - ", "-", " to ", " through ")
+    seps.find(s.contains) match {
+      case Some(sep) =>
+        val Array(a, b) = s.split(java.util.regex.Pattern.quote(sep), 2)
+        (parseDate(a.trim), parseDate(b.trim))
+      case None =>
+        val d = parseDate(s)
+        (d, d)
+    }
+  }
+
   /** PDF `D:YYYYMMDDHHmmSS` date prefix parse
     * (reference pdf_processor.py:816-838): take the date part only.
     */

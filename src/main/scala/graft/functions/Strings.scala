@@ -237,4 +237,86 @@ object Strings {
   /** None/blank check. Reference: string_utils.py:516-530. */
   def isEmptyOrWhitespace(text: String): Boolean =
     text == null || text.trim.isEmpty
+
+  /** Pad/truncate to a fixed length (string_utils.py:463-490). */
+  def padString(text: String, length: Int, padChar: Char = ' ',
+      align: String = "left"): String = {
+    val t = if (text == null) "" else text
+    if (t.length >= length) return t.take(length)
+    val deficit = length - t.length
+    align match {
+      case "left" => t + padChar.toString * deficit
+      case "right" => padChar.toString * deficit + t
+      case _ => // center: python str.center puts the extra char on the right
+        val l = deficit / 2
+        padChar.toString * l + t + padChar.toString * (deficit - l)
+    }
+  }
+
+  /** Regex split with trimmed non-empty segments; optionally keep the
+    * delimiter via lookahead (string_utils.py:492-517).
+    */
+  def splitOnPattern(text: String, pattern: String,
+      keepDelimiter: Boolean = false): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val parts =
+      if (keepDelimiter) text.split(s"(?=$pattern)", -1)
+      else text.split(pattern, -1)
+    parts.toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Null-safe stringify (string_utils.py:536-553). */
+  def safeString(value: Any, default: String = ""): String =
+    if (value == null) default
+    else try String.valueOf(value) catch { case _: Exception => default }
+
+  /** Boolean field coercion (multi_record.py:284-349 ladder's boolean arm):
+    * {true, yes, y, 1, checked, x, on} -> true; {false, no, n, 0, unchecked,
+    * off, ""} -> false; anything else unparseable (None).
+    */
+  def coerceBoolean(value: String): Option[Boolean] = {
+    if (value == null) return None
+    value.trim.toLowerCase match {
+      case "true" | "yes" | "y" | "1" | "checked" | "x" | "on" => Some(true)
+      case "false" | "no" | "n" | "0" | "unchecked" | "off" | "" => Some(false)
+      case _ => None
+    }
+  }
+
+  /** PHI masking patterns (hash_utils.py:151-176): (regex, replacement,
+    * type), applied as a sequential replace cascade.
+    */
+  val phiPatterns: Seq[(java.util.regex.Pattern, String, String)] = Seq(
+    ("\\b\\d{3}[-\\s]?\\d{2}[-\\s]?\\d{4}\\b", "***-**-****", "SSN"),
+    ("\\b\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b", "(***) ***-****", "PHONE"),
+    ("\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b", "****@****.***", "EMAIL"),
+    ("\\b(?:\\d{1,2}[-/]\\d{1,2}[-/]\\d{2,4}|\\d{4}[-/]\\d{1,2}[-/]\\d{1,2})\\b",
+      "**/**/****", "DATE"),
+    ("\\b1[A-Z0-9]{10}\\b", "***********", "MEDICARE_ID"),
+    ("\\bMRN[:\\s]*[A-Z0-9]{6,12}\\b", "MRN: ********", "MRN"),
+    ("\\b[12]\\d{9}\\b", "**********", "NPI"),
+    ("\\b(?:\\d{4}[-\\s]?){3,4}\\d{1,4}\\b", "****-****-****-****", "CREDIT_CARD"),
+    ("\\b(?:Account|Acct)[:\\s#]*[A-Z0-9]{6,15}\\b", "Account: ********", "ACCOUNT"),
+    ("\\b(?:Member|Subscriber)[:\\s#]*[A-Z0-9]{6,15}\\b", "Member: ********", "MEMBER_ID"))
+    .map { case (p, r, t) =>
+      (java.util.regex.Pattern.compile(p, java.util.regex.Pattern.CASE_INSENSITIVE), r, t)
+    }
+
+  /** Mask PHI in text; returns (masked text, detected (type, position)
+    * pairs). Sequential-replace semantics of hash_utils.py:179-222:
+    * detections are found against the ORIGINAL text per pattern, masking is
+    * applied cumulatively.
+    */
+  def maskSensitiveData(text: String): (String, Seq[(String, Int)]) = {
+    if (text == null) return ("", Seq.empty)
+    var masked = text
+    val detected = Seq.newBuilder[(String, Int)]
+    phiPatterns.foreach { case (re, repl, kind) =>
+      val m = re.matcher(text)
+      while (m.find()) detected += ((kind, m.start()))
+      masked = re.matcher(masked).replaceAll(
+        java.util.regex.Matcher.quoteReplacement(repl))
+    }
+    (masked, detected.result())
+  }
 }

@@ -284,6 +284,19 @@ object DocumentsQ {
       .orderBy("doc_id")
   }
 
+  /** Per-language length quantiles — the exact continuous percentile
+    * (median/p90) aggregate (SURVEY §2.7 median row; the reference's
+    * deskew uses a median of line angles).
+    */
+  def d16LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(length(text), 0.5)").as("median_len"),
+        expr("percentile(length(text), 0.9)").as("p90_len"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
   /** Top-k most frequent token per language — explode + two-level agg. */
   def d11TopTokens(spark: SparkSession, dir: String): DataFrame = {
     val toks = load(spark, dir, "documents")

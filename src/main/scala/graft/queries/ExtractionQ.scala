@@ -649,6 +649,132 @@ object ExtractionQ {
       .orderBy("doc_id", "segment")
   }
 
+  /** Document metadata header projection (PDFMetadata analog,
+    * pdf_processor.py:62-130, 394-464): content hash, raw-span census,
+    * structure flags and the PDF-date parse (D:YYYYMMDDHHmmSS ->
+    * ISO date via Dates.parsePdfDate).
+    */
+  def x23DocMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, text) =>
+          val d = DocGen.synthesize(id, text)
+          digest.reset()
+          val sha = digest.digest(text.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val creation = java.time.LocalDate.of(2019, 1, 1).plusDays(id % 1000)
+          val pdfRaw = "D:" + creation.toString.replace("-", "") + "120000"
+          (d.doc_id, sha, d.spans.length,
+            d.spans.map(_.kind).distinct.sorted.mkString(","),
+            d.spans.exists(_.kind == SpanKind.TableRaw),
+            d.spans.exists(_.media_ref.nonEmpty),
+            graft.functions.Dates.parsePdfDate(pdfRaw).map(_.toString).orNull)
+        }
+      }
+      .toDF("doc_id", "content_sha256", "n_raw_spans", "raw_kinds",
+        "has_tables", "has_media", "creation_date")
+      .orderBy("doc_id")
+  }
+
+  /** Tiebreaker usage aggregate (reconciler.py:317-319): the 5-step
+    * reconciliation ladder applied to id-derived dual-pass field pairs
+    * (each branch planted), counted per tiebreaker kind corpus-wide.
+    */
+  def x24TiebreakerStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Reconcile
+    import graft.model.Bbox
+    load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w0 = Strings.splitWs(text).toIndexedSeq
+        val w = if (w0.length >= 4) w0 else IndexedSeq("a", "b", "c", "d")
+        val box = Some(Bbox(0.1, 0.1, 0.5, 0.5))
+        val fields = Seq(
+          // single-pass vs exact-agreement
+          ("alpha", Some(w(0)), (id * 7 % 101).toDouble / 100.0, None: Option[Bbox],
+            if (id % 5 == 0) None else Some(w(0)), (id * 3 % 101).toDouble / 100.0,
+            None: Option[Bbox]),
+          // bbox-overlap vs placeholder-penalty vs last-resort
+          ("beta", Some(w(1)), (id * 11 % 101).toDouble / 100.0,
+            if (id % 3 == 0) box else None,
+            if (id % 4 == 0) Some("n/a") else Some(w(2) + "x"),
+            (id * 13 % 101).toDouble / 100.0,
+            if (id % 3 == 0) box else None),
+          // missing-side handling
+          ("gamma", if (id % 9 == 0) None else Some(w(3)), 0.5, None: Option[Bbox],
+            None: Option[String], 0.0, None: Option[Bbox]))
+        fields.map { case (f, p1, c1, b1, p2, c2, b2) =>
+          val (_, _, tb) = Reconcile.reconcileField(p1, c1, b1, p2, c2, b2)
+          (DocGen.docIdStr(id), f, tb)
+        }
+      }
+      .toDF("doc_id", "field", "tiebreaker")
+      .groupBy(col("tiebreaker"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("tiebreaker")
+  }
+
+  /** Run comparison (benchmark.py:310-355): per-field F1 of a candidate
+    * extraction run against a baseline run over the same golden fixture,
+    * with deltas and the 0.02 regression/improvement gates.
+    */
+  def x25RunComparison(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GoldenEval
+    import spark.implicits._
+    val perRun = load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w0 = Strings.splitWs(text).toIndexedSeq
+        val w = if (w0.isEmpty) IndexedSeq("empty", "document", "body") else w0
+        val base = goldenPairs(id, w)
+        // candidate run: a different perturbation profile per field — the
+        // name breaks more often, the provider less often, totals less often
+        val cand = base.map { case (field, level, g, _) =>
+          val x2 = field match {
+            case "claim_id" => g
+            case "patient_name" =>
+              if (id % 11 == 0) { if (w.length >= 6) w(5) else "other" } else g
+            case "provider" => if (id % 31 == 0) g.dropRight(1) else g
+            case _ => // total_charges: strip the $ (numeric-equal), rarely break
+              val cents = graft.tokenize.DocGen.tableAmtCents(id, 0).toLong
+              val c2 = if (id % 37 == 0) cents + cents / 5 else cents
+              f"${c2 / 100}%d.${c2 % 100}%02d"
+          }
+          (field, level, g, x2)
+        }
+        (base.map { case (f, l, g, x) =>
+          ("baseline", f, GoldenEval.compareField(Some(g), Some(x), l).isMatch)
+        } ++ cand.map { case (f, l, g, x) =>
+          ("candidate", f, GoldenEval.compareField(Some(g), Some(x), l).isMatch)
+        })
+      }
+      .toDF("run", "field", "is_match")
+      .groupBy(col("run"), col("field"))
+      .agg(
+        sum(col("is_match").cast("long")).as("tp"),
+        sum((!col("is_match")).cast("long")).as("fpfn"))
+      .withColumn("f1", col("tp").cast("double") * 2 /
+        (col("tp") * 2 + col("fpfn") + col("fpfn")))
+    val b = perRun.filter(col("run") === "baseline")
+      .select(col("field"), col("f1").as("f1_baseline"))
+    val c = perRun.filter(col("run") === "candidate")
+      .select(col("field"), col("f1").as("f1_candidate"))
+    b.join(c, "field")
+      .withColumn("delta", col("f1_candidate") - col("f1_baseline"))
+      .withColumn("status",
+        when(col("delta") < -0.02, "regression")
+          .when(col("delta") > 0.02, "improvement")
+          .otherwise("stable"))
+      .orderBy("field")
+  }
+
   /** Cross-field sum rule over reconstructed tables: data-row amounts must
     * sum to the total row within 0.01 (cross_field.py nested-sum rule).
     */

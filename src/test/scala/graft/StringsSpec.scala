@@ -1,4 +1,5 @@
 package graft
+// (PHI-masking / padding / coercion additions are covered at the bottom)
 
 import graft.functions.Strings
 import org.scalatest.funsuite.AnyFunSuite
@@ -79,5 +80,48 @@ class StringsSpec extends AnyFunSuite {
     assert(Strings.extractBetween("Name: John Smith, Age:", "Name: ", ", Age:")
       .contains("John Smith"))
     assert(Strings.extractBetween("no markers", "a:", "b:").isEmpty)
+  }
+
+  test("pad_string alignment + truncation (string_utils.py:463-490)") {
+    assert(Strings.padString("ab", 5) == "ab   ")
+    assert(Strings.padString("ab", 5, '0', "right") == "000ab")
+    assert(Strings.padString("ab", 5, '-', "center") == "-ab--")
+    assert(Strings.padString("abcdef", 3) == "abc") // truncates over-length
+  }
+
+  test("split_on_pattern trims, drops blanks, optional delimiter keep") {
+    assert(Strings.splitOnPattern("a, b,, c", ",") == Seq("a", "b", "c"))
+    assert(Strings.splitOnPattern("", ",").isEmpty)
+    assert(Strings.splitOnPattern("x1y2z", "\\d", keepDelimiter = true) ==
+      Seq("x", "1y", "2z"))
+  }
+
+  test("safe_string + boolean coercion (multi_record ladder)") {
+    assert(Strings.safeString(null, "d") == "d")
+    assert(Strings.safeString(42) == "42")
+    assert(Strings.coerceBoolean("Yes").contains(true))
+    assert(Strings.coerceBoolean(" X ").contains(true))
+    assert(Strings.coerceBoolean("checked").contains(true))
+    assert(Strings.coerceBoolean("no").contains(false))
+    assert(Strings.coerceBoolean("").contains(false))
+    assert(Strings.coerceBoolean("maybe").isEmpty)
+    assert(Strings.coerceBoolean(null).isEmpty)
+  }
+
+  test("mask_sensitive_data masks PHI patterns (hash_utils.py:151-222)") {
+    val (m1, d1) = Strings.maskSensitiveData("SSN: 123-45-6789")
+    assert(m1 == "SSN: ***-**-****")
+    assert(d1.exists(_._1 == "SSN"))
+    // \b\(? cannot start at "(" (no word boundary before it) — the opening
+    // paren survives, exactly as the reference's Python regex behaves
+    val (m2, _) = Strings.maskSensitiveData("call (555) 123-4567 now")
+    assert(m2 == "call ((***) ***-**** now")
+    assert(Strings.maskSensitiveData("call 555-123-4567 now")._1 ==
+      "call (***) ***-**** now")
+    val (m3, d3) = Strings.maskSensitiveData("mail a.b@x.org re 2024-01-15")
+    assert(m3.contains("****@****.***") && m3.contains("**/**/****"))
+    assert(d3.map(_._1).toSet == Set("EMAIL", "DATE"))
+    // clean text passes through untouched
+    assert(Strings.maskSensitiveData("plain words only")._1 == "plain words only")
   }
 }
