@@ -653,6 +653,35 @@ object OracleX {
       "FROM agg ORDER BY field"
   }
 
+  /** IVF ANN mirror (e07): per-label mean centroids as the coarse
+    * quantizer, nearest-cell assignment, nprobe=2 probing, exact re-rank.
+    */
+  val e07: String = {
+    val cos =
+      "list_sum(list_transform(list_zip(p.q_emb, x.embedding), y -> CAST(y[1] AS DOUBLE) * CAST(y[2] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(p.q_emb, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(x.embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"
+    "WITH comps AS (SELECT label, unnest(embedding) AS v, " +
+      "generate_subscripts(embedding, 1) AS dim FROM embeddings), " +
+      "means AS (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m FROM comps GROUP BY 1, 2), " +
+      "cl AS (SELECT label, list(m ORDER BY dim) AS cvec FROM means GROUP BY label), " +
+      "dists AS (SELECT e.vec_id, c.label, " +
+      "list_sum(list_transform(list_zip(e.embedding, c.cvec), " +
+      "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))) AS d " +
+      "FROM embeddings e, cl c), " +
+      "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, label) AS rk FROM dists), " +
+      "cells AS (SELECT vec_id, label AS cell FROM ranked WHERE rk = 1), " +
+      "corpus AS (SELECT e.vec_id, e.embedding, c.cell FROM embeddings e JOIN cells c USING (vec_id)), " +
+      "probes AS (SELECT r.vec_id AS query_id, e.embedding AS q_emb, r.label AS probe_cell " +
+      "FROM ranked r JOIN embeddings e USING (vec_id) WHERE r.rk <= 2 AND r.vec_id < 20), " +
+      s"scored AS (SELECT p.query_id, x.vec_id AS neighbor_id, $cos AS cos_sim " +
+      "FROM corpus x JOIN probes p ON x.cell = p.probe_cell AND x.vec_id <> p.query_id) " +
+      "SELECT query_id, neighbor_id, cos_sim, rank FROM " +
+      "(SELECT query_id, neighbor_id, cos_sim, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank " +
+      "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"
+  }
+
   /** Exact continuous length quantiles per language (d16 mirror). */
   val d16: String =
     "SELECT lang, quantile_cont(length(text), 0.5) AS median_len, " +
@@ -680,6 +709,7 @@ object OracleX {
     "x20_code_checks" -> x20, "x21_fax_signals" -> x21, "x22_doc_segments" -> x22,
     "x23_doc_metadata" -> x23, "x24_tiebreaker_stats" -> x24,
     "x25_run_comparison" -> x25, "d16_length_quantiles" -> d16,
+    "e07_ann_ivf" -> e07,
     "x01_spans" -> x01, "x02_span_stats" -> x02, "x03_modality" -> x03,
     "x04_table_rows" -> x04, "x05_media_quality" -> x05, "x06_reconcile" -> x06,
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,

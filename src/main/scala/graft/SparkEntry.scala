@@ -61,6 +61,7 @@ object SparkEntry {
     "e04_knn_classify" -> (EmbeddingsQ.e04KnnClassify _),
     "e05_centroids" -> (EmbeddingsQ.e05Centroids _),
     "e06_embedding_neardup" -> (EmbeddingsQ.e06EmbeddingNearDup _),
+    "e07_ann_ivf" -> (EmbeddingsQ.e07AnnIvf _),
     // the extraction pipeline (north rule)
     "x01_spans" -> (ExtractionQ.x01Spans _),
     "x02_span_stats" -> (ExtractionQ.x02SpanStats _),

@@ -193,6 +193,56 @@ object EmbeddingsQ {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-style ANN: the per-label mean vectors act as the coarse quantizer
+    * (k-means-step centroids, deterministic — no RNG init), every corpus
+    * vector is assigned to its nearest centroid cell, and each query probes
+    * its nprobe=2 nearest cells before the exact cosine re-rank. The
+    * inverted-file counterpart of e03's LSH: candidates ~ nprobe/k of the
+    * corpus; at 10^9 vectors k grows with sqrt(n) and cells become the
+    * partition key, so probing touches only the probed cells' partitions.
+    */
+  def e07AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    // coarse quantizer: per-label elementwise means (tiny k -> collected)
+    val cents: Array[(Int, Array[Double])] = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .collect()
+      .map { r =>
+        val dm = r.getSeq[org.apache.spark.sql.Row](1)
+        (r.getInt(0), dm.map(_.getDouble(1)).toArray)
+      }
+      .sortBy(_._1)
+    def dists(e: Seq[Float]): Seq[(Double, Int)] = cents.toSeq.map { case (lbl, c) =>
+      var d = 0.0
+      var j = 0
+      while (j < e.length) {
+        val diff = e(j).toDouble - c(j); d += diff * diff; j += 1
+      }
+      (d, lbl)
+    }
+    val cellUdf = udf { (e: Seq[Float]) => dists(e).minBy(identity)._2 }
+    val probesUdf = udf { (e: Seq[Float]) => dists(e).sorted.take(2).map(_._2) }
+    val corpus = emb.withColumn("cell", cellUdf(col("embedding")))
+      .withColumn("e_norm", norm(spark, col("embedding")))
+    val queries = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("e_norm").as("q_norm"),
+        explode(probesUdf(col("embedding"))).as("probe_cell"))
+    val scored = corpus.join(broadcast(queries),
+      col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(spark, col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("e_norm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label centroid norms — elementwise mean via posexplode + re-agg,
     * the distributed shape for centroid computation (k-means step analog).
     * The norm is rounded to 6 dp: double summation order varies with
