@@ -54,6 +54,42 @@ object Export {
     sb.append('\n').toString
   }
 
+  /** HMAC-SHA-256 export receipt (reference src/export/signed_receipt.py:
+    * 82-190): sha256 per artefact + an HMAC signature over the canonical
+    * "name:hash" payload with a shared secret; None key -> unsigned receipt
+    * (artefact hashes still present, matching the keyless path).
+    */
+  final case class Receipt(artefactHashes: Map[String, String], signature: Option[String])
+
+  def mintReceipt(artefacts: Map[String, Array[Byte]],
+      signingKey: Option[String]): Receipt = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val hashes = artefacts.map { case (name, bytes) =>
+      sha.reset()
+      name -> sha.digest(bytes).map("%02x".format(_)).mkString
+    }
+    val signature = signingKey.map { key =>
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key.getBytes("UTF-8"), "HmacSHA256"))
+      val payload = hashes.toSeq.sorted.map { case (n, h) => s"$n:$h" }.mkString("\n")
+      mac.doFinal(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    Receipt(hashes, signature)
+  }
+
+  /** Constant-time receipt verification (signed_receipt.py:216-272). */
+  def verifyReceipt(receipt: Receipt, artefacts: Map[String, Array[Byte]],
+      signingKey: Option[String]): Boolean = {
+    val fresh = mintReceipt(artefacts, signingKey)
+    fresh.artefactHashes == receipt.artefactHashes &&
+      ((fresh.signature, receipt.signature) match {
+        case (Some(a), Some(b)) =>
+          java.security.MessageDigest.isEqual(a.getBytes, b.getBytes)
+        case (None, None) => true
+        case _ => false
+      })
+  }
+
   /** Markdown export: one .md document per row, written as (doc_id, md)
     * text-friendly parquet (single markdown files per doc would be the
     * classic small-files failure at corpus scale; consumers slice by id).

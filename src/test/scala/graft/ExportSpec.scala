@@ -62,6 +62,24 @@ class ExportSpec extends AnyFunSuite {
     assert(back.count() == 50 && back.columns.toSet == Set("doc_id", "markdown"))
   }
 
+  test("HMAC receipts: mint, verify, tamper detection, keyless path") {
+    val artefacts = Map(
+      "spans.parquet" -> "span data bytes".getBytes("UTF-8"),
+      "metrics.json" -> "{\"n\": 1}".getBytes("UTF-8"))
+    val r = Export.mintReceipt(artefacts, Some("secret-key"))
+    assert(r.signature.isDefined && r.artefactHashes.size == 2)
+    assert(Export.verifyReceipt(r, artefacts, Some("secret-key")))
+    // tampered artefact fails
+    val tampered = artefacts + ("spans.parquet" -> "evil".getBytes("UTF-8"))
+    assert(!Export.verifyReceipt(r, tampered, Some("secret-key")))
+    // wrong key fails
+    assert(!Export.verifyReceipt(r, artefacts, Some("other-key")))
+    // keyless installs still get artefact hashes, no signature
+    val unsigned = Export.mintReceipt(artefacts, None)
+    assert(unsigned.signature.isEmpty)
+    assert(Export.verifyReceipt(unsigned, artefacts, None))
+  }
+
   test("flat parquet export matches the flat DataFrame exactly") {
     val out = Files.createTempDirectory("graft_export_p").toString
     Export.writeFlatParquet(extracted, s"$out/flat")
