@@ -78,6 +78,22 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
   }
 
+  test("claim-surface queries prune the scan to doc_id only") {
+    for (q <- Seq("x14_cross_field", "x15_confidence", "x22_doc_segments")) {
+      val plan = executed(SparkEntry.queries(q)(spark, dir))
+      val scan = allNodes(plan).collect { case s: FileSourceScanExec => s }.head
+      assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id"),
+        s"$q scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("e07 IVF probes broadcast; corpus is never shuffled for the join") {
+    val plan = executed(EmbeddingsQ.e07AnnIvf(spark, dir))
+    assert(allNodes(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"no broadcast hash join in:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("d01 exact dedup shuffles only the hash, not the text") {
     val plan = executed(DocumentsQ.d01ExactDups(spark, dir))
     val shuffles = allNodes(plan).collect { case s: ShuffleExchangeLike => s }
