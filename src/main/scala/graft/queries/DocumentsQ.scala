@@ -124,13 +124,35 @@ object DocumentsQ {
     * candidate pairs are real output of the same pipeline but depend on the
     * signatures, so they're pinned by QueriesSpec, not the oracle.
     */
+  /** Hot-bucket cap for LSH candidate generation: a bucket with more than
+    * `maxBucket` members contributes O(members^2) candidate pairs — at
+    * corpus scale a single degenerate bucket (boilerplate-identical or
+    * empty-ish docs sharing a signature) turns the self-join quadratic.
+    * Such buckets carry no near-dup information the exact-dedup pass
+    * (d01/d05) doesn't already capture, so production LSH drops them from
+    * candidate generation (the standard guard). 1000 is far above any
+    * bucket this corpus produces, so the cap is exercised structurally
+    * (extra co-partitioned count join) without changing any oracle output.
+    */
+  private val maxBucket = 1000
+
+  private def capBuckets(bands: DataFrame, keys: Seq[String]): DataFrame = {
+    val counts = bands.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    // co-partitioned on the same keys -> no extra wide shuffle of `bands`
+    bands.join(counts, keys)
+  }
+
   def d06MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashVariants(spark, dir)
       .withColumn("sig", minhashUdf(col("text")))
       .select(col("doc_id"), col("sig"))
     // shuffle only (doc_id, band) pairs — signatures rejoin after dedup
-    val bands = sigs.select(col("doc_id"),
-      posexplode(bandsUdf(col("sig"))).as(Seq("band_idx", "band_key")))
+    val bands = capBuckets(sigs.select(col("doc_id"),
+      posexplode(bandsUdf(col("sig"))).as(Seq("band_idx", "band_key"))),
+      Seq("band_idx", "band_key"))
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -171,10 +193,11 @@ object DocumentsQ {
     val sigs = simhashVariants(spark, dir)
       .withColumn("sim", simhashUdf(col("text")))
       .select(col("doc_id"), col("sim"))
-    val chunks = sigs.select(col("doc_id"), col("sim"),
+    val chunks = capBuckets(sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
+        .as(Seq("chunk_idx", "chunk_val"))),
+      Seq("chunk_idx", "chunk_val"))
     val a = chunks.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
       col("chunk_idx"), col("chunk_val"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
