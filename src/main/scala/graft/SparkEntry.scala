@@ -92,7 +92,8 @@ object SparkEntry {
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _),
-    "s03_watermark_append" -> (StreamingQ.s03WatermarkAppend _))
+    "s03_watermark_append" -> (StreamingQ.s03WatermarkAppend _),
+    "s04_stream_dedup" -> (StreamingQ.s04StreamDedup _))
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -330,6 +331,11 @@ object SparkEntry {
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "s03_watermark_append" ->
+      ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n FROM events " +
+        "GROUP BY 1, 2 " +
+        "HAVING hour + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events) " +
+        "ORDER BY 1, 2"),
+    "s04_stream_dedup" ->
       ("SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n FROM events " +
         "GROUP BY 1, 2 " +
         "HAVING hour + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events) " +

@@ -77,6 +77,40 @@ object StreamingQ {
       .orderBy("hour", "event_type")
   }
 
+  /** Streaming dedup: the replayed stream is artificially DOUBLED (each
+    * event emitted twice) and `dropDuplicates` over event_id with a
+    * watermark removes the copies in bounded state — the streaming analog
+    * of the training-pipeline exact-dedup stage. Hourly counts after dedup
+    * equal the batch aggregation over the original events, with the same
+    * watermark cutoff as s03 (windows inside the horizon are withheld on a
+    * finite replay, exactly as they would be mid-stream).
+    */
+  def s04StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = load(spark, dir, "events").schema
+    val name = s"graft_stream_dd_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("copy", explode(array(lit(1), lit(2)))) // plant duplicates
+      .drop("copy")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Stateful stream: per-user running event count + last event type via
     * groupByKey over the replayed stream — demonstrated with
     * mapGroupsWithState in StreamingSpec; batch surface here mirrors the

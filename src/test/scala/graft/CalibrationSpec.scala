@@ -59,6 +59,24 @@ class CalibrationSpec extends AnyFunSuite {
     assert(Calibration.fitPlatt(pts) == ab) // fixed iterations -> deterministic
   }
 
+  test("x11 output is byte-identical across shuffle parallelism (deterministic fit)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dir = "/root/testdata/sf0.001"
+    def run(parts: String): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      graft.queries.ExtractionQ.x11Calibration(spark, dir)
+        .collect().map(_.toString).toSeq
+    }
+    val a = run("3")
+    val b = run("13")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert(a == b, "x11 fit sample / outputs depend on partitioning")
+  }
+
   test("linear calibrator matches reference 0.85x + 0.05 with clamps") {
     assert(Calibration.applyLinear(0.0) == 0.05)
     assert(Calibration.applyLinear(1.0) == 0.9)
