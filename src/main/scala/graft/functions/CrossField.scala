@@ -14,6 +14,11 @@ import java.util.Locale
   * arrays as sequences of field maps. All checks are pure — the Spark
   * surface applies `validate` row-wise over a broadcast rule pack, so rules
   * never shuffle and the pass is map-only at any corpus size.
+  *
+  * The reference also declares a FORMAT_MATCH rule type (cross_field.py:36)
+  * with no checker, builder, or call site — a dead enum member whose rules
+  * would fall through `_check_rule`'s dict to None (pass). Omitting it here
+  * is behavior-preserving.
   */
 object CrossField {
 

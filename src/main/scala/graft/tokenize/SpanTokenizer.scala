@@ -205,7 +205,19 @@ object SpanTokenizer {
     * error spans (error-channel mandate, SURVEY.md §2.1 PDF validation row).
     */
   def extract(doc: Doc, cfg: Config = default): ExtractedDoc = {
-    val ordered = doc.spans.sortBy(_.offset)
+    // fast path: parquet/DocGen rows arrive offset-ordered — skip the
+    // per-doc sort allocation unless an out-of-order span is actually seen
+    val ordered = doc.spans match {
+      case s: scala.collection.IndexedSeq[Span] =>
+        var sorted = true
+        var i = 1
+        while (sorted && i < s.length) {
+          if (s(i).offset < s(i - 1).offset) sorted = false
+          i += 1
+        }
+        if (sorted) s else s.sortBy(_.offset)
+      case s => s.sortBy(_.offset)
+    }
     val out = Seq.newBuilder[Span]
     var n = 0
     var errors = 0
