@@ -219,28 +219,35 @@ object ExtractionQ {
       .orderBy("doc_id", "media_ref")
   }
 
-  /** Slim (doc_id, suspicion, label) score table shared by x11 and x13:
-    * ONE default-pass and ONE pass-2 tokenization feed both the agreement
-    * label (x06 semantics) and the hallucination suspicion (x08 semantics),
-    * so the x-chain costs 2 kernel passes total — not the 5 a naive
-    * x13 -> x11 -> (x06 + x08) composition would re-run. Only ~24 bytes/doc
-    * survive the kernels, so callers persist this frame freely.
+  /** Slim (doc_id, modalities, agreement, suspicion, label) score table
+    * shared by x11, x13 and x16: BOTH tokenizer configurations run on the
+    * same raw document inside one `mapPartitions`, so the whole x-chain is
+    * a single map-only input pass — no join, no shuffle of span-text
+    * arrays (the naive x13 -> x11 -> (x06 + x08) composition re-ran the
+    * kernel 5x across 2 scans + a full-outer join). x06 keeps the explicit
+    * full-outer-join formulation as the reconciler JOIN surface; this is
+    * its fused scale path, value-identical (set-intersection agreement,
+    * pass-1 suspicion). Only ~24 bytes/doc survive, so callers persist
+    * this frame freely.
     */
   private def scoredAll(spark: SparkSession, dir: String): DataFrame = {
-    val scoreUdf = udf { (texts: Seq[String]) => Patterns.suspicionScore(texts) }
-    val p1 = extracted(spark, dir, SpanTokenizer.default)
-      .select(col("doc_id"), col("modalities"),
-        transform(col("spans"), s => s.getField("text")).as("t1"))
-    val p2 = extracted(spark, dir, SpanTokenizer.pass2)
-      .select(col("doc_id"), transform(col("spans"), s => s.getField("text")).as("t2"))
-    p1.join(p2, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("modalities"),
-        (size(array_intersect(coalesce(col("t1"), array()), coalesce(col("t2"), array())))
-          .cast("double") /
-          greatest(size(array_union(coalesce(col("t1"), array()),
-            coalesce(col("t2"), array()))), lit(1)).cast("double")).as("agreement_rate"),
-        scoreUdf(filter(coalesce(col("t1"), array()), t => length(t) > 0)).as("suspicion"))
-      .withColumn("label", (col("agreement_rate") > 0.9).cast("double"))
+    import spark.implicits._
+    rawDocs(spark, dir)
+      .mapPartitions { it =>
+        it.map { d =>
+          val e1 = SpanTokenizer.extract(d, SpanTokenizer.default)
+          val e2 = SpanTokenizer.extract(d, SpanTokenizer.pass2)
+          val t1 = e1.spans.map(_.text)
+          val s1 = t1.toSet
+          val s2 = e2.spans.iterator.map(_.text).toSet
+          val agreement =
+            s1.intersect(s2).size.toDouble / math.max(s1.union(s2).size, 1)
+          val susp = Patterns.suspicionScore(t1.filter(_.nonEmpty))
+          (e1.doc_id, e1.modalities, agreement, susp,
+            if (agreement > 0.9) 1.0 else 0.0)
+        }
+      }
+      .toDF("doc_id", "modalities", "agreement_rate", "suspicion", "label")
   }
 
   /** Confidence calibration (calibration.py:139-326 semantics): isotonic
