@@ -396,10 +396,18 @@ object OracleX {
   private def centsStr(c: String): String =
     s"CAST(($c) // 100 AS VARCHAR) || '.' || lpad(CAST(($c) % 100 AS VARCHAR), 2, '0')"
 
+  /** ExtractionQ.evalWords mirror: word list padded to >= 6 with the fixed
+    * filler so every index the pair builders use exists for any document.
+    */
+  private val evalWordsCte: String =
+    "gw AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did, " +
+      "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+      "ELSE string_split_regex(trim(text), '\\s+') END AS w0 FROM documents), " +
+      "g0 AS (SELECT id, did, CASE WHEN len(w0) >= 6 THEN w0 " +
+      "ELSE w0 || ['empty','document','body','gamma','delta','omega'][len(w0)+1:6] END AS w FROM gw)"
+
   private val goldenPairsCte: String =
-    "WITH g0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did, " +
-      "CASE WHEN length(trim(text)) = 0 THEN ['empty','document','body'] " +
-      "ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents), " +
+    s"WITH $evalWordsCte, " +
       "g1 AS (SELECT id, did, w, len(w) AS n, (id*97) % 90000 + 100 AS cents FROM g0), " +
       "pairs AS (" +
       "SELECT id, did, 'claim_id' AS field, 'exact' AS match_level, did AS g, " +
@@ -618,9 +626,7 @@ object OracleX {
         s"WHEN 'normalized' THEN ${normSql(g)} = ${normSql(x)} " +
         s"WHEN 'fuzzy' THEN ${ratioSql(normSql(g), normSql(x))} >= 0.85 " +
         s"ELSE abs(${numSql(g)} - ${numSql(x)}) / abs(${numSql(g)}) <= 0.01 END"
-    "WITH g0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did, " +
-      "CASE WHEN length(trim(text)) = 0 THEN ['empty','document','body'] " +
-      "ELSE string_split_regex(trim(text), '\\s+') END AS w FROM documents), " +
+    s"WITH $evalWordsCte, " +
       "g1 AS (SELECT id, did, w, len(w) AS n, (id*97) % 90000 + 100 AS cents FROM g0), " +
       "pairs AS (" +
       // baseline extracted (x17 profile) and candidate extracted side by side

@@ -286,14 +286,6 @@ object SparkEntry {
         "SELECT query_id, label AS predicted_label, votes FROM " +
         "(SELECT query_id, label, votes, ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY votes DESC, label) AS vr FROM votes) WHERE vr = 1 ORDER BY query_id"),
-    "e06_embedding_neardup" ->
-      ("SELECT vec_a, vec_b, cos_sim FROM (" +
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-        "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) " +
-        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
-        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_sim " +
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) " +
-        "ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 100"),
     "d01_exact_dups" ->
       ("SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc " +
         "FROM documents GROUP BY 1 ORDER BY 1"),

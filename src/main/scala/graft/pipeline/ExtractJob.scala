@@ -132,8 +132,13 @@ object ExtractJob {
         val buckets = d.getFileName.toString.stripPrefix("group=")
           .split('-').flatMap(s => scala.util.Try(s.toInt).toOption)
         if (!buckets.forall(committed.contains)) {
-          deleteRecursively(d)
+          // Revoke FIRST, then delete: a crash after the revokes leaves a
+          // group dir with not-all-committed buckets, which the next sweep
+          // deletes and re-revokes safely (idempotent). The reverse order
+          // has a window where the data is gone but manifests still claim
+          // the committed buckets done — those rows would be lost forever.
           buckets.foreach(store.revoke)
+          deleteRecursively(d)
           alive = alive -- buckets
         }
       }

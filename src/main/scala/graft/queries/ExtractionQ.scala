@@ -439,6 +439,19 @@ object ExtractionQ {
       .orderBy("doc_id")
   }
 
+  /** Word basis for the golden-eval surfaces, padded to >= 6 words so every
+    * index goldenPairs/x25 use exists for ANY document — empty and 1-5-word
+    * texts (an anticipated input class: DocGen/OracleX branch for them) get
+    * deterministic filler instead of an ArrayIndexOutOfBounds. OracleX
+    * mirrors the padding (`w0 || pad[len+1:6]`).
+    */
+  private[queries] val evalPad =
+    IndexedSeq("empty", "document", "body", "gamma", "delta", "omega")
+  private[queries] def evalWords(text: String): IndexedSeq[String] = {
+    val w0 = Strings.splitWs(text).toIndexedSeq
+    if (w0.length >= 6) w0 else w0 ++ evalPad.drop(w0.length)
+  }
+
   /** Deterministic golden/extracted field pairs for the evaluation ladder:
     * (field, match_level, golden, extracted). Planted perturbation classes
     * exercise every level — casing/whitespace drift every 13th doc
@@ -481,8 +494,7 @@ object ExtractionQ {
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val w0 = Strings.splitWs(text).toIndexedSeq
-        val w = if (w0.isEmpty) IndexedSeq("empty", "document", "body") else w0
+        val w = evalWords(text)
         goldenPairs(id, w).map { case (field, level, g, x) =>
           val r = GoldenEval.compareField(Some(g), Some(x), level)
           (graft.tokenize.DocGen.docIdStr(id), field, level, r.isMatch, r.similarity)
@@ -738,8 +750,7 @@ object ExtractionQ {
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val w0 = Strings.splitWs(text).toIndexedSeq
-        val w = if (w0.isEmpty) IndexedSeq("empty", "document", "body") else w0
+        val w = evalWords(text)
         val base = goldenPairs(id, w)
         // candidate run: a different perturbation profile per field — the
         // name breaks more often, the provider less often, totals less often

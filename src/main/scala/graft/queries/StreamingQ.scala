@@ -78,12 +78,18 @@ object StreamingQ {
   }
 
   /** Streaming dedup: the replayed stream is artificially DOUBLED (each
-    * event emitted twice) and `dropDuplicates` over event_id with a
-    * watermark removes the copies in bounded state — the streaming analog
-    * of the training-pipeline exact-dedup stage. Hourly counts after dedup
-    * equal the batch aggregation over the original events, with the same
-    * watermark cutoff as s03 (windows inside the horizon are withheld on a
-    * finite replay, exactly as they would be mid-stream).
+    * event emitted twice) and `dropDuplicatesWithinWatermark` over event_id
+    * removes the copies — the streaming analog of the training-pipeline
+    * exact-dedup stage. WithinWatermark is the state-BOUNDED variant: plain
+    * `dropDuplicates("event_id")` only evicts state when the event-time
+    * column is part of the dedup key, so on an endless stream its state
+    * grows without bound; the WithinWatermark form expires each key once
+    * the watermark passes its event time, which is exactly the guarantee
+    * needed here (duplicates of an event arrive at the same event time).
+    * Hourly counts after dedup equal the batch aggregation over the
+    * original events, with the same watermark cutoff as s03 (windows
+    * inside the horizon are withheld on a finite replay, exactly as they
+    * would be mid-stream).
     */
   def s04StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val schema = load(spark, dir, "events").schema
@@ -96,7 +102,7 @@ object StreamingQ {
       .withColumn("copy", explode(array(lit(1), lit(2)))) // plant duplicates
       .drop("copy")
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = stream.writeStream
