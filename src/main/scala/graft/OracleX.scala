@@ -417,40 +417,58 @@ object OracleX {
       "WHEN id % 13 = 0 THEN upper(w[1]) || '  ' || upper(w[2]) " +
       "ELSE w[1] || ' ' || w[2] END FROM g1 " +
       "UNION ALL SELECT id, did, 'provider', 'fuzzy', w[3] || ' ' || w[4], " +
-      "CASE WHEN id % 17 = 0 THEN substr(w[3] || ' ' || w[4], 1, length(w[3] || ' ' || w[4]) - 1) " +
+      // planted FN: extraction dropped every 41st doc (NULL extracted)
+      "CASE WHEN id % 41 = 0 THEN NULL " +
+      "WHEN id % 17 = 0 THEN substr(w[3] || ' ' || w[4], 1, length(w[3] || ' ' || w[4]) - 1) " +
       "ELSE w[3] || ' ' || w[4] END FROM g1 " +
       s"UNION ALL SELECT id, did, 'total_charges', 'numeric', '$$' || ${centsStr("cents")}, " +
       s"CASE WHEN id % 19 = 0 THEN ${centsStr("cents + cents // 5")} " +
-      s"ELSE ${centsStr("cents")} END FROM g1), " +
+      s"ELSE ${centsStr("cents")} END FROM g1 " +
+      // planted FP: spurious field with no golden every 59th doc
+      "UNION ALL SELECT id, did, 'auth_code', 'exact', NULL, " +
+      "'AUTH' || CAST(id % 997 AS VARCHAR) FROM g1 WHERE id % 59 = 0), " +
       "cmp AS (SELECT did, field, match_level, " +
-      "CASE match_level " +
+      "g IS NOT NULL AS golden_present, x IS NOT NULL AS extracted_present, " +
+      "CASE WHEN g IS NULL AND x IS NULL THEN TRUE " +
+      "WHEN g IS NULL OR x IS NULL THEN FALSE " +
+      "ELSE CASE match_level " +
       "WHEN 'exact' THEN g = x " +
       s"WHEN 'normalized' THEN ${normSql("g")} = ${normSql("x")} " +
       s"WHEN 'fuzzy' THEN ${ratioSql(normSql("g"), normSql("x"))} >= 0.85 " +
-      s"ELSE abs(${numSql("g")} - ${numSql("x")}) / abs(${numSql("g")}) <= 0.01 END AS is_match, " +
-      "CASE match_level " +
+      s"ELSE abs(${numSql("g")} - ${numSql("x")}) / abs(${numSql("g")}) <= 0.01 END END AS is_match, " +
+      "CASE WHEN g IS NULL AND x IS NULL THEN 1.0 " +
+      "WHEN g IS NULL OR x IS NULL THEN 0.0 " +
+      "ELSE CASE match_level " +
       s"WHEN 'exact' THEN (CASE WHEN g = x THEN 1.0 ELSE ${ratioSql("g", "x")} END) " +
       s"WHEN 'normalized' THEN (CASE WHEN ${normSql("g")} = ${normSql("x")} THEN 1.0 " +
       s"ELSE ${ratioSql(normSql("g"), normSql("x"))} END) " +
       s"WHEN 'fuzzy' THEN ${ratioSql(normSql("g"), normSql("x"))} " +
-      s"ELSE greatest(0.0, CAST(1.0 AS DOUBLE) - abs(${numSql("g")} - ${numSql("x")}) / abs(${numSql("g")})) END AS similarity " +
+      s"ELSE greatest(0.0, CAST(1.0 AS DOUBLE) - abs(${numSql("g")} - ${numSql("x")}) / abs(${numSql("g")})) END END AS similarity " +
       "FROM pairs)"
 
   val x17: String = goldenPairsCte +
-    " SELECT did AS doc_id, field, match_level, is_match, similarity " +
+    " SELECT did AS doc_id, field, match_level, golden_present, " +
+    "extracted_present, is_match, similarity " +
     "FROM cmp ORDER BY doc_id, field"
 
+  /** metrics.py:233-272 per_field_f1 mirror: expected/extracted/correct
+    * counted separately, zero-guarded precision/recall, f1 = 2pr/(p+r).
+    */
   val x18: String = goldenPairsCte +
     ", agg AS (SELECT field, match_level, " +
     "CAST(SUM(CAST(is_match AS INT)) AS BIGINT) AS tp, " +
-    "CAST(SUM(CAST(NOT is_match AS INT)) AS BIGINT) AS fp, " +
-    "CAST(SUM(CAST(NOT is_match AS INT)) AS BIGINT) AS fn, " +
-    "count(*) AS n_docs FROM cmp GROUP BY 1, 2) " +
-    "SELECT field, match_level, tp, fp, fn, n_docs, " +
-    "CAST(tp AS DOUBLE) / (tp + fp) AS precision, " +
-    "CAST(tp AS DOUBLE) / (tp + fn) AS recall, " +
-    "CAST(tp AS DOUBLE) * 2 / (tp * 2 + fp + fn) AS f1 " +
-    "FROM agg ORDER BY field"
+    "CAST(SUM(CAST(extracted_present AS INT)) AS BIGINT) AS n_extracted, " +
+    "CAST(SUM(CAST(golden_present AS INT)) AS BIGINT) AS n_expected, " +
+    "count(*) AS n_docs FROM cmp GROUP BY 1, 2), " +
+    "pr AS (SELECT field, match_level, tp, n_extracted - tp AS fp, " +
+    "n_expected - tp AS fn, n_docs, " +
+    "CASE WHEN n_extracted > 0 THEN CAST(tp AS DOUBLE) / n_extracted ELSE 0.0 END AS precision, " +
+    "CASE WHEN n_expected > 0 THEN CAST(tp AS DOUBLE) / n_expected ELSE 0.0 END AS recall " +
+    "FROM agg) " +
+    "SELECT field, match_level, tp, fp, fn, n_docs, precision, recall, " +
+    "CASE WHEN precision + recall > 0 THEN 2 * precision * recall / (precision + recall) " +
+    "ELSE CAST(0.0 AS DOUBLE) END AS f1 " +
+    "FROM pr ORDER BY field"
 
   // ---- full hallucination detector over named-field records ----
 

@@ -482,10 +482,31 @@ object ExtractionQ {
         if (id % 19 == 0) plain(cents + cents / 5) else plain(cents)))
   }
 
+  /** goldenPairs with the missing/extra planting that makes FP != FN
+    * observable (metrics.py:147-272 counts expected / extracted / correct
+    * separately): the provider extraction is DROPPED every 41st doc
+    * (expected-but-missing -> FN only) and a spurious `auth_code` field with
+    * no golden is EXTRACTED every 59th doc (extracted-but-unexpected -> FP
+    * only). All id arithmetic; OracleX mirrors with SQL NULLs.
+    */
+  private[queries] def goldenPairsOpt(id: Long, words: IndexedSeq[String])
+      : Seq[(String, String, Option[String], Option[String])] = {
+    val base = goldenPairs(id, words).map { case (f, l, g, x) =>
+      val xOpt = if (f == "provider" && id % 41 == 0) None else Some(x)
+      (f, l, Some(g): Option[String], xOpt)
+    }
+    if (id % 59 == 0)
+      base :+ (("auth_code", "exact", None: Option[String],
+        Some("AUTH" + (id % 997)): Option[String]))
+    else base
+  }
+
   /** Golden-dataset evaluation join (metrics.py:330-500): a deterministic
     * golden fixture table joined to the extracted values by doc_id, each
     * field compared at its own EXACT / NORMALIZED / FUZZY / NUMERIC match
-    * level with Levenshtein-ratio similarity.
+    * level with Levenshtein-ratio similarity. Presence flags are carried so
+    * the downstream per-field aggregation can count expected vs extracted
+    * asymmetrically (metrics.py FieldResult.is_expected / is_present).
     */
   def x17GoldenEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -495,32 +516,46 @@ object ExtractionQ {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val w = evalWords(text)
-        goldenPairs(id, w).map { case (field, level, g, x) =>
-          val r = GoldenEval.compareField(Some(g), Some(x), level)
-          (graft.tokenize.DocGen.docIdStr(id), field, level, r.isMatch, r.similarity)
+        goldenPairsOpt(id, w).map { case (field, level, g, x) =>
+          val r = GoldenEval.compareField(g, x, level)
+          (graft.tokenize.DocGen.docIdStr(id), field, level,
+            g.isDefined, x.isDefined, r.isMatch, r.similarity)
         }
       }
-      .toDF("doc_id", "field", "match_level", "is_match", "similarity")
+      .toDF("doc_id", "field", "match_level", "golden_present",
+        "extracted_present", "is_match", "similarity")
       .orderBy("doc_id", "field")
   }
 
-  /** Per-field evaluation breakdown (benchmark.py:310-355 run-comparison
-    * grain): tp / fp / fn and precision / recall / F1 per field across the
-    * corpus (a field counts fp when extracted-but-wrong, fn when
-    * expected-but-missed, per metrics.py aggregation).
+  /** Per-field evaluation breakdown (metrics.py:233-272 per_field_f1 grain):
+    * expected / extracted / correct counted separately per field, so
+    * FP = extracted - correct (present-but-wrong or unexpected) and
+    * FN = expected - correct (missing or wrong) are asymmetric —
+    * precision = correct/extracted, recall = correct/expected, zero-guarded
+    * exactly as the reference (0.0 on empty denominators).
     */
   def x18FieldF1(spark: SparkSession, dir: String): DataFrame =
     x17GoldenEval(spark, dir)
       .groupBy(col("field"), col("match_level"))
       .agg(
         sum(col("is_match").cast("long")).as("tp"),
-        sum((!col("is_match")).cast("long")).as("fp"),
-        sum((!col("is_match")).cast("long")).as("fn"),
+        sum(col("extracted_present").cast("long")).as("n_extracted"),
+        sum(col("golden_present").cast("long")).as("n_expected"),
         count(lit(1)).as("n_docs"))
-      .withColumn("precision", col("tp").cast("double") / (col("tp") + col("fp")))
-      .withColumn("recall", col("tp").cast("double") / (col("tp") + col("fn")))
-      .withColumn("f1", col("tp").cast("double") * 2 /
-        (col("tp") * 2 + col("fp") + col("fn")))
+      .withColumn("fp", col("n_extracted") - col("tp"))
+      .withColumn("fn", col("n_expected") - col("tp"))
+      .withColumn("precision",
+        when(col("n_extracted") > 0,
+          col("tp").cast("double") / col("n_extracted")).otherwise(0.0))
+      .withColumn("recall",
+        when(col("n_expected") > 0,
+          col("tp").cast("double") / col("n_expected")).otherwise(0.0))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(0.0))
+      .select(col("field"), col("match_level"), col("tp"), col("fp"),
+        col("fn"), col("n_docs"), col("precision"), col("recall"), col("f1"))
       .orderBy("field")
 
   /** Deterministic named-field records for the full hallucination detector:
