@@ -276,6 +276,35 @@ object OracleX {
     "ELSE [CAST((k * n_frames) // 8 AS VARCHAR) FOR k IN range(0, 8)] END, ',') AS sampled_frames " +
     "FROM meta2 ORDER BY doc_id, media_ref"
 
+  /** x11 mirror: the per-(profile, tenant) isotonic calibrator re-derived in
+    * SQL. The planted sample's labels are monotone in the score
+    * (Calibration.plantedSample), so the PAV fit reduces to the per-knot
+    * means m(j) = (1[2j >= thr] + 1[2j+1 >= thr]) / 2 over knots x_j = j/20,
+    * and apply(x) is the same clamp + binary-search linear interpolation the
+    * Scala Isotonic performs (kk = largest knot index with x_kk <= x).
+    */
+  val x11: String = {
+    def m(j: String): String =
+      s"(CAST(CAST(2*($j) >= thr AS INT) + CAST(2*($j)+1 >= thr AS INT) AS DOUBLE) / 2.0)"
+    val texts1 = "list_transform(spans, s -> s.\"text\")"
+    val texts2 = "list_transform(spans2, s -> s.\"text\")"
+    recon(Seq(3, 2)) +
+      s", t AS (SELECT id, did, least(1.0, $suspicion) AS x, " +
+      s"CAST(len(list_intersect($texts1, $texts2)) AS DOUBLE) " +
+      s"/ CAST(greatest(len(list_distinct(list_concat($texts1, $texts2))), 1) AS DOUBLE) AS agr " +
+      "FROM recon), " +
+      "c AS (SELECT id, did, x, agr, id % 3 AS profile, id % 2 AS tenant, " +
+      "20 + 3*(id % 3) + 2*(id % 2) AS thr FROM t), " +
+      "kx AS (SELECT *, len([i FOR i IN range(0, 21) IF CAST(i AS DOUBLE)/20.0 <= x]) - 1 AS kk FROM c) " +
+      "SELECT did AS doc_id, profile, tenant, x AS raw_score, " +
+      "CASE WHEN agr > 0.9 THEN 1.0 ELSE 0.0 END AS label, " +
+      s"CASE WHEN x <= 0.0 THEN ${m("0")} WHEN x >= 1.0 THEN ${m("20")} " +
+      s"ELSE ${m("kk")} + (${m("kk+1")} - ${m("kk")}) * (x - CAST(kk AS DOUBLE)/20.0) " +
+      "/ (CAST(kk+1 AS DOUBLE)/20.0 - CAST(kk AS DOUBLE)/20.0) END AS isotonic, " +
+      "least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), CAST(0.85 AS DOUBLE) * x + 0.05)) AS linear " +
+      "FROM kx ORDER BY doc_id"
+  }
+
   val x13: String = recon() +
     s", sc AS (SELECT id, did, least(1.0, $suspicion) AS suspicion FROM recon), " +
     "c AS (SELECT id, did, suspicion, least(1.0, greatest(0.0, 0.85 * (1.0 - suspicion) + 0.05)) AS confidence FROM sc), " +
@@ -737,5 +766,6 @@ object OracleX {
     "x01_spans" -> x01, "x02_span_stats" -> x02, "x03_modality" -> x03,
     "x04_table_rows" -> x04, "x05_media_quality" -> x05, "x06_reconcile" -> x06,
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,
-    "x10_code_validation" -> x10, "x12_media_pipeline" -> x12, "x13_routing" -> x13)
+    "x10_code_validation" -> x10, "x11_calibration" -> x11,
+    "x12_media_pipeline" -> x12, "x13_routing" -> x13)
 }

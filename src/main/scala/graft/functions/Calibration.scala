@@ -109,4 +109,22 @@ object Calibration {
 
   /** The reference's linear fallback calibrator (0.85x + 0.05, clamped). */
   def applyLinear(x: Double): Double = math.min(1.0, math.max(0.0, 0.85 * x + 0.05))
+
+  /** Deterministic per-(profile, tenant) calibration sample — the engine
+    * analog of the reference's stored calibration table, keyed exactly like
+    * PartitionedCalibrator's (profile, tenant_id) partitions
+    * (calibration.py:533-580). 21 score knots x_k = k/20, two labeled points
+    * per knot; labels are MONOTONE in the score by construction
+    * (label = 1 iff 2k+j >= thr, thr = 20 + 3*profile + 2*tenant), so the
+    * PAV solution is closed-form — per-knot means (0 / 0.5 / 1 ramp), no
+    * pooling — and a SQL oracle re-derives the fitted isotonic exactly
+    * (graft.OracleX x11). The fit still runs the real PAV machinery; only
+    * the sample is planted (pooling behavior is pinned by CalibrationSpec
+    * on adversarial inputs).
+    */
+  def plantedSample(profile: Long, tenant: Long): Seq[(Double, Double)] = {
+    val thr = 20 + 3 * profile + 2 * tenant
+    for (k <- 0 to 20; j <- 0 to 1)
+      yield (k / 20.0, if (2 * k + j >= thr) 1.0 else 0.0)
+  }
 }

@@ -251,47 +251,35 @@ object ExtractionQ {
   }
 
   /** Confidence calibration (calibration.py:139-326 semantics): isotonic
-    * (PAV) + Platt + linear calibrators fit driver-side on a bounded sample
-    * of (suspicion score, pass-agreement label) pairs, then applied row-wise
-    * (fit parameters broadcast by closure). The fit sample is DETERMINISTIC
-    * at any scale and parallelism: ordered by doc_id before the 10k cap, so
-    * the fitted params — and every downstream output — are run-independent
-    * (the reference caps its calibration points the same way).
+    * (PAV) + linear calibrators fit per (profile, tenant) partition —
+    * PartitionedCalibrator's key, calibration.py:533-580 — and applied
+    * row-wise to the suspicion score (fit parameters broadcast by closure).
     *
-    * Calibrators are PER-PROFILE (calibration.py:533-580's per-
-    * (profile, tenant) partitioning): each profile key gets its own
-    * isotonic + Platt fit from its slice of the bounded sample; rows apply
-    * their own profile's calibrator. At 10^12 docs the sample stays one
-    * bounded collect — profile count, not corpus size, drives fit cost.
+    * The fit runs on the PLANTED per-partition calibration sample
+    * (Calibration.plantedSample — the analog of the reference's stored
+    * calibration table): bounded, corpus-independent and deterministic at
+    * any scale or parallelism, so the fit needs no corpus scan and no
+    * collect at all (partition count, not corpus size, drives fit cost),
+    * and — because the planted labels make the PAV solution closed-form —
+    * the fitted isotonic is re-derivable in pure SQL: the whole query is a
+    * machine-checked CORRECTNESS row (OracleX.x11), not just a spec golden.
+    * Platt (the non-SQL-expressible calibrator) stays spec-pinned in
+    * CalibrationSpec on the same planted samples.
     */
   def x11Calibration(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Calibration
-    val scored = scoredAll(spark, dir)
-      .withColumn("profile", substring(col("doc_id"), 5, 9).cast("long") % 3)
-      .persist()
-    val sample = scored.orderBy("doc_id").limit(10000)
-      .select(col("profile"), col("suspicion"), col("label"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
-    val byProfile = sample.groupBy(_._1).map { case (p, rows) =>
-      val pts = rows.map(r => (r._2, r._3))
-      p -> (Calibration.fitIsotonic(pts), Calibration.fitPlatt(pts))
-    }
-    val fallback = {
-      val pts = sample.map(r => (r._2, r._3))
-      (Calibration.fitIsotonic(pts), Calibration.fitPlatt(pts))
-    }
-    val isoUdf = udf { (p: Long, x: Double) =>
-      byProfile.getOrElse(p, fallback)._1(x)
-    }
-    val plattUdf = udf { (p: Long, x: Double) =>
-      Calibration.applyPlatt(byProfile.getOrElse(p, fallback)._2, x)
-    }
+    val fits: Map[(Long, Long), Calibration.Isotonic] =
+      (for (p <- 0L to 2L; t <- 0L to 1L)
+        yield (p, t) -> Calibration.fitIsotonic(Calibration.plantedSample(p, t))).toMap
+    val isoUdf = udf { (p: Long, t: Long, x: Double) => fits((p, t))(x) }
     val linUdf = udf { (x: Double) => Calibration.applyLinear(x) }
-    scored
-      .select(col("doc_id"), col("profile"), col("suspicion").as("raw_score"),
-        col("label"),
-        isoUdf(col("profile"), col("suspicion")).as("isotonic"),
-        plattUdf(col("profile"), col("suspicion")).as("platt"),
+    val idnum = substring(col("doc_id"), 5, 9).cast("long")
+    scoredAll(spark, dir)
+      .select(col("doc_id"),
+        (idnum % 3).as("profile"),
+        (idnum % 2).as("tenant"),
+        col("suspicion").as("raw_score"), col("label"),
+        isoUdf(idnum % 3, idnum % 2, col("suspicion")).as("isotonic"),
         linUdf(col("suspicion")).as("linear"))
       .orderBy("doc_id")
   }

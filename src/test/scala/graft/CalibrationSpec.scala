@@ -59,6 +59,33 @@ class CalibrationSpec extends AnyFunSuite {
     assert(Calibration.fitPlatt(pts) == ab) // fixed iterations -> deterministic
   }
 
+  test("planted sample fits to the closed-form per-knot-mean isotonic") {
+    // The per-(profile, tenant) planted sample's labels are monotone in the
+    // score, so PAV must do no pooling: knots are exactly (k/20, m_k) with
+    // m_k = (1[2k >= thr] + 1[2k+1 >= thr]) / 2 — the form the SQL oracle
+    // re-derives (OracleX.x11).
+    for (p <- 0L to 2L; t <- 0L to 1L) {
+      val thr = 20 + 3 * p + 2 * t
+      val iso = Calibration.fitIsotonic(Calibration.plantedSample(p, t))
+      assert(iso.xs.length == 21, s"($p,$t): pooling occurred")
+      (0 to 20).foreach { k =>
+        assert(iso.xs(k) == k / 20.0)
+        val m = ((if (2 * k >= thr) 1 else 0) + (if (2 * k + 1 >= thr) 1 else 0)) / 2.0
+        assert(iso.ys(k) == m, s"($p,$t) knot $k")
+      }
+    }
+    // partitions are observably distinct (tenant dimension is live)
+    val a = Calibration.fitIsotonic(Calibration.plantedSample(0, 0))
+    val b = Calibration.fitIsotonic(Calibration.plantedSample(0, 1))
+    val c = Calibration.fitIsotonic(Calibration.plantedSample(1, 0))
+    assert(a(0.52) != b(0.52) && b(0.55) != c(0.55))
+    // Platt on the planted sample stays sane (spec-pinned; not SQL-oracled)
+    for (p <- 0L to 2L; t <- 0L to 1L) {
+      val ab = Calibration.fitPlatt(Calibration.plantedSample(p, t))
+      assert(Calibration.applyPlatt(ab, 0.0) < 0.5 && Calibration.applyPlatt(ab, 1.0) > 0.5)
+    }
+  }
+
   test("x11 output is byte-identical across shuffle parallelism (deterministic fit)") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
