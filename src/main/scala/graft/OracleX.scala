@@ -316,6 +316,30 @@ object OracleX {
     "WHEN conf_level = 'medium' AND retries_left THEN 'retry' ELSE 'human_review' END AS route " +
     "FROM r ORDER BY doc_id"
 
+  /** Review-queue mirror (x26): the x13 route ladder filtered to
+    * non-complete rows, with the DLQ outcome closed-form — the first
+    * successful redelivery pass is p* = (2·id) mod 5 (ReviewSink's stubbed
+    * delivery schedule); p* in 1..MaxAttempts delivers with p*-1 failed
+    * attempts, p* = 0 or 4 accumulates MaxAttempts failures and dies
+    * (pass 4 never claims a dead entry).
+    */
+  val x26: String = recon() +
+    s", sc AS (SELECT id, did, least(1.0, $suspicion) AS suspicion FROM recon), " +
+    "c AS (SELECT id, did, suspicion, least(1.0, greatest(0.0, 0.85 * (1.0 - suspicion) + 0.05)) AS confidence FROM sc), " +
+    "r AS (SELECT id, did, confidence, " +
+    "CASE WHEN confidence >= 0.85 THEN 'high' WHEN confidence >= 0.5 THEN 'medium' ELSE 'low' END AS conf_level, " +
+    "id % 3 > 0 AS retries_left, suspicion >= 0.7 AS is_likely_hallucination FROM c), " +
+    "rt AS (SELECT id, did, confidence, " +
+    "CASE WHEN is_likely_hallucination THEN 'human_review' WHEN conf_level = 'high' THEN 'complete' " +
+    "WHEN conf_level = 'medium' AND retries_left THEN 'retry' ELSE 'human_review' END AS route " +
+    "FROM r), " +
+    "dlq AS (SELECT id, did, confidence, route, (2 * id) % 5 AS pstar FROM rt WHERE route <> 'complete') " +
+    "SELECT did AS doc_id, route AS queue, confidence, " +
+    "CASE WHEN pstar BETWEEN 1 AND 3 THEN 'delivered' ELSE 'dead' END AS status, " +
+    "CAST(CASE WHEN pstar BETWEEN 1 AND 3 THEN pstar - 1 ELSE 3 END AS INT) AS attempts, " +
+    "CAST(CASE WHEN pstar BETWEEN 1 AND 3 THEN pstar ELSE 0 END AS INT) AS delivered_pass " +
+    "FROM dlq ORDER BY doc_id"
+
   // ---- claim-record surfaces (ExtractionQ.claimFields mirror) ----
 
   /** Per-rule violation booleans for the CMS-1500 pack over the id-derived
@@ -767,5 +791,6 @@ object OracleX {
     "x04_table_rows" -> x04, "x05_media_quality" -> x05, "x06_reconcile" -> x06,
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,
     "x10_code_validation" -> x10, "x11_calibration" -> x11,
-    "x12_media_pipeline" -> x12, "x13_routing" -> x13)
+    "x12_media_pipeline" -> x12, "x13_routing" -> x13,
+    "x26_review_queue" -> x26)
 }

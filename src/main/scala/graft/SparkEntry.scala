@@ -88,6 +88,7 @@ object SparkEntry {
     "x23_doc_metadata" -> (ExtractionQ.x23DocMetadata _),
     "x24_tiebreaker_stats" -> (ExtractionQ.x24TiebreakerStats _),
     "x25_run_comparison" -> (ExtractionQ.x25RunComparison _),
+    "x26_review_queue" -> (ExtractionQ.x26ReviewQueue _),
     "d16_length_quantiles" -> (DocumentsQ.d16LengthQuantiles _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),

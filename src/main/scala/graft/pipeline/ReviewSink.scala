@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Review-queue sink with dead-letter semantics — the durable landing zone
+  * for rows the routing ladder (ExtractionQ.x13Routing) sends away from
+  * `complete`. Mirrors the reference's DLQ contract
+  * (src/queue/webhook_dlq.py WS-9 status machine; orchestrator routing
+  * src/agents/orchestrator.py:1306-1360):
+  *
+  *   pending -> delivered   (a redelivery attempt succeeds)
+  *   pending -> pending     (transient failure: attempts += 1)
+  *   pending -> dead        (attempts reaches max_attempts; the entry stops
+  *                           being claimed — later passes must NOT resurrect)
+  *
+  * Scale/commit design: the queue write is ONE atomic-rename commit guarded
+  * by a manifest (the same exactly-once protocol as ExtractJob's groups) —
+  * re-running the sink over the same outDir is a no-op; a crash between the
+  * rename and the manifest commit leaves an uncommitted queue dir the next
+  * run sweeps and rewrites. Redelivery passes are narrow map-only column
+  * updates (no shuffle, Catalyst collapses the pass chain into one
+  * projection); at 10^12 docs the queue is a small filtered side table of
+  * the routing output.
+  *
+  * Delivery itself is a documented deterministic STUB (like media decode —
+  * no network in this container): attempt `p` for numeric doc id succeeds
+  * iff (id + 7p) % 5 == 0. Plain id arithmetic, so the DuckDB oracle
+  * re-derives every status / attempts / delivered_pass (graft.OracleX.x26):
+  * the first successful pass is p* = (2·id) mod 5 (p* = 0 meaning "pass 5",
+  * beyond the horizon) — entries with p* in 1..3 deliver with p*-1 failed
+  * attempts; everything else accumulates max_attempts failures and dies.
+  */
+object ReviewSink {
+
+  /** DLQ bounds: an entry dies after 3 failed attempts; 4 redelivery passes
+    * run so the final pass exercises "dead entries are not claimed" (an id
+    * whose delivery WOULD succeed at pass 4 must stay dead).
+    */
+  val MaxAttempts = 3
+  val Passes = 4
+
+  /** STUB — deterministic stand-in for the webhook delivery attempt. */
+  def deliverySucceeds(id: Long, pass: Int): Boolean = (id + 7L * pass) % 5 == 0
+
+  final case class SinkStats(
+      nEntries: Long,
+      nDelivered: Long,
+      nDead: Long,
+      committedBefore: Boolean)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+
+  /** Enqueue `routed`'s non-complete rows, drive `Passes` redelivery passes,
+    * and commit the final queue table to `outDir/queue`. Idempotent: a
+    * committed manifest short-circuits the whole run.
+    */
+  def run(spark: SparkSession, routed: DataFrame, outDir: String,
+      runId: String): SinkStats = {
+    val store = new LocalManifestStore(outDir)
+    val root = Paths.get(outDir)
+    Files.createDirectories(root)
+    // sweep temp debris from a crashed run
+    Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".tmp-queue"))
+      .foreach(deleteRecursively)
+    val queueDir = root.resolve("queue")
+    if (store.committedBuckets().contains(0)) {
+      val m = store.readManifest(0).get
+      return SinkStats(m.nDocs, m.nSpans, m.nErrors, committedBefore = true)
+    }
+    // uncommitted queue dir = crash between rename and manifest: rewrite
+    deleteRecursively(queueDir)
+
+    var q = routed.filter(col("route") =!= "complete")
+      .select(col("doc_id"), col("route").as("queue"), col("confidence"),
+        lit(0).as("attempts"), lit("pending").as("status"),
+        lit(0).as("delivered_pass"),
+        substring(col("doc_id"), 5, 9).cast("long").as("idnum"))
+    (1 to Passes).foreach { p =>
+      // claim_due analog: only pending entries are attempted
+      val pending = col("status") === "pending"
+      val succ = (col("idnum") + lit(7L * p)) % 5 === 0
+      q = q
+        .withColumn("delivered_pass",
+          when(pending && succ, lit(p)).otherwise(col("delivered_pass")))
+        .withColumn("attempts",
+          when(pending && !succ, col("attempts") + 1).otherwise(col("attempts")))
+        .withColumn("status",
+          when(pending && succ, "delivered")
+            .when(pending && col("attempts") >= MaxAttempts, "dead")
+            .otherwise(col("status")))
+    }
+
+    val tmp = root.resolve(s".tmp-queue-$runId")
+    q.drop("idnum").write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.move(tmp, queueDir, StandardCopyOption.ATOMIC_MOVE)
+    // counts read back from ONLY the committed files (O(queue), bounded)
+    val counts = spark.read.parquet(queueDir.toString)
+      .groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val stats = SinkStats(n, counts.getOrElse("delivered", 0L),
+      counts.getOrElse("dead", 0L), committedBefore = false)
+    // manifest fields: nDocs = entries, nSpans = delivered, nErrors = dead
+    store.commit(BucketManifest(0, stats.nEntries, stats.nDelivered,
+      stats.nDead, runId))
+    stats
+  }
+}

@@ -317,6 +317,22 @@ object ExtractionQ {
       .orderBy("doc_id")
   }
 
+  /** Review-queue surface: the routing ladder's non-complete rows driven
+    * through the durable review sink (pipeline/ReviewSink — DLQ status
+    * machine, manifest-committed exactly-once write) and read back from the
+    * committed queue table. The sink writes to a fresh temp dir per
+    * invocation; resume/idempotence are pinned by ReviewSinkSpec.
+    */
+  def x26ReviewQueue(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.ReviewSink
+    val out = java.nio.file.Files.createTempDirectory("graft_review").toString
+    ReviewSink.run(spark, x13Routing(spark, dir), out, "x26")
+    spark.read.parquet(s"$out/queue")
+      .select(col("doc_id"), col("queue"), col("confidence"), col("status"),
+        col("attempts"), col("delivered_pass"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic claim-record synthesis for the cross-field /
     * confidence-scoring surfaces: every field is plain arithmetic on the
     * numeric doc id (SQL-mirrorable by OracleX), with planted violations —
