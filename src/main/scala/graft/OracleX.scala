@@ -677,15 +677,37 @@ object OracleX {
   /** Tiebreaker-ladder outcomes per planted field pair (x24 mirror — the
     * word-derived values never collide with the 'x'-suffixed variant or the
     * placeholder by construction, so outcomes reduce to the id schedule).
+    * The IoU runs on span-attached provenance boxes (DocGen.spanBbox): the
+    * two passes share span 0's box on even ids (IoU = 1) and use
+    * neighboring spans' boxes on odd ids (IoU <= ~0.043 or 0 on wrap, far
+    * below the 0.4 threshold — margin pinned by spec), so bbox_overlap
+    * fires exactly on id % 6 = 0.
     */
   val x24: String =
     "WITH c0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did FROM documents), " +
       "t AS (SELECT id, did, unnest([" +
       "CASE WHEN id % 5 = 0 THEN 'single_pass' ELSE 'exact_agreement' END, " +
-      "CASE WHEN id % 3 = 0 THEN 'bbox_overlap' WHEN id % 4 = 0 THEN 'placeholder_penalty' ELSE 'last_resort' END, " +
+      "CASE WHEN id % 6 = 0 THEN 'bbox_overlap' WHEN id % 3 = 0 THEN 'last_resort' " +
+      "WHEN id % 4 = 0 THEN 'placeholder_penalty' ELSE 'last_resort' END, " +
       "CASE WHEN id % 9 = 0 THEN 'both_missing' ELSE 'single_pass' END]) AS tiebreaker FROM c0) " +
       "SELECT tiebreaker, count(*) AS n, count(DISTINCT did) AS n_docs " +
       "FROM t GROUP BY 1 ORDER BY 1"
+
+  /** Per-span provenance mirror (x27): page from the 15-spans-per-page
+    * rule, bbox from DocGen.spanBbox id arithmetic, blk_p{page}_{idx} ids.
+    */
+  val x27: String = recon() +
+    ", ex AS (SELECT id, did, unnest(list_transform(spans, (s, i) -> " +
+    "{'o': i - 1, 'k': s.kind})) AS s FROM recon) " +
+    "SELECT did AS doc_id, CAST(s.o AS INT) AS \"offset\", s.k AS kind, " +
+    "CAST(s.o // 15 + 1 AS INT) AS page, " +
+    "'blk_p' || CAST(s.o // 15 + 1 AS VARCHAR) || '_' || CAST(s.o AS VARCHAR) AS block_id, " +
+    "CAST((id*7 + s.o*13) % 80 AS DOUBLE) / 100.0 AS x1, " +
+    "CAST((id*11 + s.o*3) % 80 AS DOUBLE) / 100.0 AS y1, " +
+    "CAST((id*7 + s.o*13) % 80 AS DOUBLE) / 100.0 + 0.15 AS x2, " +
+    "CAST((id*11 + s.o*3) % 80 AS DOUBLE) / 100.0 + 0.08 AS y2, " +
+    "'tokenize:v1' AS extraction_path " +
+    "FROM ex ORDER BY doc_id, \"offset\""
 
   /** Run comparison: per-field F1 of candidate vs baseline over the same
     * golden fixture (x25 mirror; reuses the x17 comparison expressions).
@@ -792,5 +814,5 @@ object OracleX {
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,
     "x10_code_validation" -> x10, "x11_calibration" -> x11,
     "x12_media_pipeline" -> x12, "x13_routing" -> x13,
-    "x26_review_queue" -> x26)
+    "x26_review_queue" -> x26, "x27_span_provenance" -> x27)
 }

@@ -48,6 +48,16 @@ final case class ExtractedDoc(
     modalities: Seq[String],
     extraction_path: Seq[String])
 
+/** Per-span provenance leaf (reference src/pipeline/provenance.py:66-171:
+  * 1-based page, normalized bbox, VLM-style block id `blk_p{page}_{idx}`,
+  * append-only extraction path).
+  */
+final case class Provenance(
+    page: Int,
+    bbox: Bbox,
+    source_block_id: String,
+    extraction_path: Seq[String])
+
 /** Normalized bounding box, coords in [0,1] as (x1,y1,x2,y2).
   * Reference: src/pipeline/layout_types.py:11-17 (normalized bbox) and
   * src/agents/reconciler.py:173-199 (IoU over x1y1x2y2 form).

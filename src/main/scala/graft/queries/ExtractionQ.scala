@@ -752,7 +752,15 @@ object ExtractionQ {
       .flatMap { case (id, text) =>
         val w0 = Strings.splitWs(text).toIndexedSeq
         val w = if (w0.length >= 4) w0 else IndexedSeq("a", "b", "c", "d")
-        val box = Some(Bbox(0.1, 0.1, 0.5, 0.5))
+        // span-ATTACHED boxes (x27 provenance): pass 1 localizes the value
+        // to span 0's block; pass 2 to the same block on even ids (IoU = 1,
+        // >= the 0.4 threshold) and to the NEIGHBORING span's block on odd
+        // ids — same-size boxes shifted by (0.13, 0.03), whose IoU is
+        // either ~0.043 or 0 (wrap), always far below 0.4, so the outcome
+        // schedule is id arithmetic with no boundary sensitivity
+        // (margin machine-checked in ReconcileSpanBoxSpec).
+        val b1 = Some(DocGen.spanBbox(id, 0))
+        val b2 = Some(DocGen.spanBbox(id, if (id % 2 == 0) 0 else 1))
         val fields = Seq(
           // single-pass vs exact-agreement
           ("alpha", Some(w(0)), (id * 7 % 101).toDouble / 100.0, None: Option[Bbox],
@@ -760,10 +768,10 @@ object ExtractionQ {
             None: Option[Bbox]),
           // bbox-overlap vs placeholder-penalty vs last-resort
           ("beta", Some(w(1)), (id * 11 % 101).toDouble / 100.0,
-            if (id % 3 == 0) box else None,
+            if (id % 3 == 0) b1 else None,
             if (id % 4 == 0) Some("n/a") else Some(w(2) + "x"),
             (id * 13 % 101).toDouble / 100.0,
-            if (id % 3 == 0) box else None),
+            if (id % 3 == 0) b2 else None),
           // missing-side handling
           ("gamma", if (id % 9 == 0) None else Some(w(3)), 0.5, None: Option[Bbox],
             None: Option[String], 0.0, None: Option[Bbox]))
@@ -830,6 +838,27 @@ object ExtractionQ {
           .when(col("delta") > 0.02, "improvement")
           .otherwise("stable"))
       .orderBy("field")
+  }
+
+  /** Per-span provenance surface (provenance.py:66-171): every extracted
+    * span carries (page, normalized bbox, source_block_id, extraction_path)
+    * from the kernel — the audit/replay leaf a downstream exporter renders
+    * as the confidence-colored bbox overlay. Map-only at any scale.
+    */
+  def x27SpanProvenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extracted(spark, dir)
+      .flatMap { e =>
+        e.spans.map { s =>
+          val p = SpanTokenizer.provenanceOf(e.doc_id, s, e.extraction_path.head)
+          (e.doc_id, s.offset, s.kind, p.page, p.source_block_id,
+            p.bbox.x1, p.bbox.y1, p.bbox.x2, p.bbox.y2,
+            p.extraction_path.mkString(","))
+        }
+      }
+      .toDF("doc_id", "offset", "kind", "page", "block_id",
+        "x1", "y1", "x2", "y2", "extraction_path")
+      .orderBy("doc_id", "offset")
   }
 
   /** Cross-field sum rule over reconstructed tables: data-row amounts must

@@ -104,6 +104,24 @@ object DocGen {
     */
   def megaFactor(id: Long): Int = if (id % 997 == 0) 100 else 1
 
+  /** Per-span provenance arithmetic (reference Provenance leaf,
+    * src/pipeline/provenance.py:66-171): the synthesized corpus assigns
+    * pages by a fixed 15-extracted-spans-per-page rule and normalized
+    * bboxes by id+offset arithmetic — deliberately SQL-expressible so the
+    * DuckDB oracle re-derives the whole provenance surface (OracleX.x27).
+    */
+  def spanPage(offset: Int): Int = offset / 15 + 1
+
+  def spanBbox(id: Long, offset: Int): graft.model.Bbox = {
+    val x1 = ((id * 7 + offset * 13) % 80) / 100.0
+    val y1 = ((id * 11 + offset * 3) % 80) / 100.0
+    graft.model.Bbox(x1, y1, x1 + 0.15, y1 + 0.08)
+  }
+
+  /** Numeric id back out of a docIdStr ("doc_%09d"); 0 for foreign ids. */
+  def docIdNum(docId: String): Long =
+    try docId.stripPrefix("doc_").toLong catch { case _: Exception => 0L }
+
   /** Synthesize the raw interleaved document for (doc_id, seed text). */
   def synthesize(id: Long, seedText: String): Doc = {
     val words = graft.functions.Strings.splitWs(seedText).toIndexedSeq

@@ -252,4 +252,18 @@ object SpanTokenizer {
   /** Per-partition iterator form for `mapPartitions` (no per-row setup). */
   def extractPartition(docs: Iterator[Doc], cfg: Config = default): Iterator[ExtractedDoc] =
     docs.map(extract(_, cfg))
+
+  /** Per-span provenance (reference src/pipeline/provenance.py:66-171 leaf:
+    * page + bbox + source_block_id + extraction_path). Page and bbox follow
+    * the synthesized corpus's deterministic rules (DocGen.spanPage/spanBbox,
+    * id arithmetic — SQL-mirrorable, OracleX.x27); block ids use the
+    * reference's `blk_p{page}_{idx}` form. The x24 IoU tiebreaker runs on
+    * these span-attached boxes.
+    */
+  def provenanceOf(docId: String, span: Span, pathTag: String): Provenance = {
+    val id = DocGen.docIdNum(docId)
+    val page = DocGen.spanPage(span.offset)
+    Provenance(page, DocGen.spanBbox(id, span.offset),
+      s"blk_p${page}_${span.offset}", Seq(pathTag))
+  }
 }
