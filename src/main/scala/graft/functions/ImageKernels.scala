@@ -1,0 +1,285 @@
+package graft.functions
+
+/** Real image-enhancement kernels over grayscale pixel grids (row-major
+  * Array[Int], values 0-255) — the published algorithms of the reference's
+  * enhancement chain, implemented directly (no image libraries needed):
+  *
+  *   - Otsu global threshold + binarization
+  *     (reference src/preprocessing/image_enhancer.py:575-589)
+  *   - morphological opening, 2x2 kernel (erosion then dilation, :591-603)
+  *   - despeckle via 8-connected components below a min area (:605-643)
+  *   - 4-way orientation classifier from row-density variance with the
+  *     letterhead upper-half heuristic (:645-720)
+  *
+  * Pixel DECODE remains the documented deterministic stub (this container
+  * ships no codecs — SpanTokenizer.fakeDecodeQuality), so the kernels run
+  * on deterministic synthetic pages (`syntheticPage`, pure (shard, index)
+  * arithmetic). Spec goldens mirror the reference's
+  * tests/unit/test_phase5_preprocessing.py:102-280. The x05 enhancement
+  * plans ("deskew+otsu+open+despeckle", ...) are executable against a grid
+  * via `enhance`; deskew/denoise/clahe stay identity stubs pending a real
+  * decoder.
+  */
+object ImageKernels {
+
+  /** Grayscale image, row-major, px(y * width + x) in 0-255. */
+  final case class Gray(width: Int, height: Int, px: Array[Int]) {
+    require(px.length == width * height, "pixel buffer shape mismatch")
+    def apply(y: Int, x: Int): Int = px(y * width + x)
+  }
+
+  /** Otsu's method: the threshold maximizing between-class variance of the
+    * 256-bin histogram (the classic exhaustive scan cv2.THRESH_OTSU runs).
+    */
+  def otsuThreshold(img: Gray): Int = {
+    val hist = new Array[Long](256)
+    img.px.foreach(v => hist(v) += 1)
+    val total = img.px.length.toLong
+    var sumAll = 0.0
+    var i = 0
+    while (i < 256) { sumAll += i.toDouble * hist(i); i += 1 }
+    var wB = 0L
+    var sumB = 0.0
+    var best = -1.0
+    var thr = 0
+    var t = 0
+    while (t < 256) {
+      wB += hist(t)
+      sumB += t.toDouble * hist(t)
+      val wF = total - wB
+      if (wB != 0 && wF != 0) {
+        val mB = sumB / wB
+        val mF = (sumAll - sumB) / wF
+        val between = wB.toDouble * wF.toDouble * (mB - mF) * (mB - mF)
+        if (between > best) { best = between; thr = t }
+      }
+      t += 1
+    }
+    thr
+  }
+
+  /** cv2.THRESH_BINARY: v > thr -> 255 else 0. */
+  def binarize(img: Gray, thr: Int): Gray =
+    Gray(img.width, img.height, img.px.map(v => if (v > thr) 255 else 0))
+
+  /** cv2.THRESH_BINARY_INV: v > thr -> 0 else 255 (text-as-foreground). */
+  def binarizeInv(img: Gray, thr: Int): Gray =
+    Gray(img.width, img.height, img.px.map(v => if (v > thr) 0 else 255))
+
+  def invert(img: Gray): Gray =
+    Gray(img.width, img.height, img.px.map(255 - _))
+
+  private def windowOp(img: Gray, pick: (Int, Int) => Int): Gray = {
+    // 2x2 structuring element anchored top-left (cv2's default anchor for
+    // an even kernel), replicate border
+    val w = img.width; val h = img.height
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val y1 = math.min(y + 1, h - 1)
+      var x = 0
+      while (x < w) {
+        val x1 = math.min(x + 1, w - 1)
+        val a = img.px(y * w + x); val b = img.px(y * w + x1)
+        val c = img.px(y1 * w + x); val d = img.px(y1 * w + x1)
+        out(y * w + x) = pick(pick(a, b), pick(c, d))
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, out)
+  }
+
+  def erode(img: Gray): Gray = windowOp(img, math.min)
+  def dilate(img: Gray): Gray = windowOp(img, math.max)
+
+  /** Morphological opening = erosion then dilation with the 2x2 kernel:
+    * removes isolated speckle pixels without thinning glyph strokes
+    * (image_enhancer.py:591-603).
+    */
+  def opening(img: Gray): Gray = dilate(erode(img))
+
+  /** 8-connected component labels over nonzero pixels; returns
+    * (labels array with 0 = background, component areas by label).
+    */
+  def connectedComponents(img: Gray): (Array[Int], Array[Int]) = {
+    val w = img.width; val h = img.height
+    val labels = new Array[Int](w * h)
+    val areas = scala.collection.mutable.ArrayBuffer[Int](0) // label 0 unused
+    val stack = new java.util.ArrayDeque[Int]()
+    var next = 0
+    var idx = 0
+    while (idx < w * h) {
+      if (img.px(idx) != 0 && labels(idx) == 0) {
+        next += 1
+        var area = 0
+        labels(idx) = next
+        stack.push(idx)
+        while (!stack.isEmpty) {
+          val cur = stack.pop()
+          area += 1
+          val cy = cur / w; val cx = cur % w
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val ny = cy + dy; val nx = cx + dx
+              if ((dy != 0 || dx != 0) && ny >= 0 && ny < h && nx >= 0 && nx < w) {
+                val n = ny * w + nx
+                if (img.px(n) != 0 && labels(n) == 0) {
+                  labels(n) = next
+                  stack.push(n)
+                }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+        }
+        areas += area
+      }
+      idx += 1
+    }
+    (labels, areas.toArray)
+  }
+
+  /** Despeckle (image_enhancer.py:605-643): Otsu-binarize, invert so text
+    * is the nonzero foreground, drop 8-connected components below
+    * `minComponentArea`, re-invert to black-on-white.
+    */
+  def despeckle(img: Gray, minComponentArea: Int = 4): Gray = {
+    val inverted = binarizeInv(img, otsuThreshold(img))
+    val (labels, areas) = connectedComponents(inverted)
+    val keep = new Array[Int](inverted.px.length)
+    var i = 0
+    while (i < keep.length) {
+      val l = labels(i)
+      if (l != 0 && areas(l) >= minComponentArea) keep(i) = 255
+      i += 1
+    }
+    invert(Gray(img.width, img.height, keep))
+  }
+
+  private def rotate90cw(img: Gray): Gray = {
+    val w = img.width; val h = img.height
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < w) { // new height = old width
+      var x = 0
+      while (x < h) { // new width = old height
+        out(y * h + x) = img.px((h - 1 - x) * w + y)
+        x += 1
+      }
+      y += 1
+    }
+    Gray(h, w, out)
+  }
+
+  private def rotate180(img: Gray): Gray =
+    Gray(img.width, img.height, img.px.reverse)
+
+  private def rotate90ccw(img: Gray): Gray = rotate180(rotate90cw(img))
+
+  /** Peakiness of the horizontal projection profile: population variance of
+    * max-normalized per-row pixel sums (image_enhancer.py _portrait_score).
+    */
+  def portraitScore(binary: Gray): Double = {
+    val h = binary.height; val w = binary.width
+    if (h == 0) return 0.0
+    val rows = new Array[Double](h)
+    var mx = 0.0
+    var y = 0
+    while (y < h) {
+      var s = 0.0
+      var x = 0
+      while (x < w) { s += binary.px(y * w + x); x += 1 }
+      rows(y) = s
+      if (s > mx) mx = s
+      y += 1
+    }
+    if (mx == 0.0) return 0.0
+    var mean = 0.0
+    rows.indices.foreach(i => { rows(i) /= mx; mean += rows(i) })
+    mean /= h
+    var v = 0.0
+    rows.foreach(r => v += (r - mean) * (r - mean))
+    v / h
+  }
+
+  /** 4-way orientation classifier (image_enhancer.py:645-720): Otsu-inverse
+    * binarize, score the four rotations by row-density variance, pick the
+    * max (ties resolved in 0/90/180/270 order, like the Python dict), then
+    * the letterhead heuristic — if the candidate is 0/180 and the upper
+    * half clearly dominates (>10%), stay upright. Returns the rotation the
+    * image needs to be upright; 0 when in doubt (never mis-rotate).
+    */
+  def classifyOrientation(img: Gray): Int = {
+    val binary = binarizeInv(img, otsuThreshold(img))
+    val rots = Seq(
+      0 -> binary,
+      90 -> rotate90cw(binary),
+      180 -> rotate180(binary),
+      270 -> rotate90ccw(binary))
+    val scores = rots.map { case (r, g) => r -> portraitScore(g) }
+    val best = scores.maxBy { case (r, s) => (s, -r) }._1 // first max wins ties
+    if (best == 0 || best == 180) {
+      val w = binary.width; val h = binary.height
+      val half = h / 2
+      var upper = 0L; var lower = 0L
+      var i = 0
+      while (i < w * h) {
+        if (i < half * w) upper += binary.px(i) else lower += binary.px(i)
+        i += 1
+      }
+      if (upper > lower * 1.1) return 0
+    }
+    best
+  }
+
+  /** Deterministic synthetic page for a media ref's (shard, index): light
+    * background, dark glyph bands in the upper half (runs broken by column
+    * gaps so components are glyph-sized), speckle pixels scattered in the
+    * blank lower half — a bimodal histogram with top-heavy row density, so
+    * every kernel's contract is exercised by a real algorithm run. Pure
+    * arithmetic: the same ref always yields the same page.
+    */
+  def syntheticPage(shard: Long, index: Long, w: Int = 64, h: Int = 64): Gray = {
+    val px = Array.fill(w * h)(235)
+    var r = 0
+    while (r < h / 2) {
+      if (r % 8 >= 4 && r % 8 <= 6) {
+        var c = 0
+        while (c < w) {
+          if ((shard + c) % 7 != 0)
+            px(r * w + c) = (20 + ((shard * c + index * r) % 30)).toInt
+          c += 1
+        }
+      }
+      r += 1
+    }
+    var k = 0
+    while (k < 12) {
+      val sy = (h / 2 + (shard * 13 + index * 7 + k * 31) % (h / 2)).toInt
+      val sx = ((shard * 17 + index * 11 + k * 43) % w).toInt
+      px(sy * w + sx) = 10
+      k += 1
+    }
+    Gray(w, h, px)
+  }
+
+  /** Mode-dispatched enhancement executor for the x05 plan strings
+    * (image_enhancer.py:195-298 mode selection): otsu / open / despeckle
+    * run the real kernels above; deskew / denoise / clahe remain identity
+    * stubs (documented — they need decoded source pixels and real content
+    * to be meaningful; the container has neither).
+    */
+  def enhance(img: Gray, plan: String): Gray =
+    plan.split('+').foldLeft(img) { (g, step) =>
+      step match {
+        case "otsu" => binarize(g, otsuThreshold(g))
+        case "open" => opening(g)
+        case "despeckle" => despeckle(g)
+        case _ => g
+      }
+    }
+}

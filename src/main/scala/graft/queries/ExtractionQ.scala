@@ -81,7 +81,11 @@ object ExtractionQ {
 
   /** Media (figure) spans with stubbed decode quality metrics + the
     * modality-dispatched enhancement plan (image_enhancer.py:195-298 mode
-    * selection as a when/otherwise column).
+    * selection as a when/otherwise column). The plan strings are executable:
+    * graft.functions.ImageKernels.enhance runs the real Otsu / opening /
+    * despeckle kernels (deskew/denoise/clahe remain decode-gated stubs) —
+    * the quality METRICS here stay ref-arithmetic so the oracle re-derives
+    * them.
     */
   def x05MediaQuality(spark: SparkSession, dir: String): DataFrame = {
     val qualityUdf = udf { (ref: String) =>

@@ -138,7 +138,9 @@ object SpanTokenizer {
     * metrics, image_enhancer.py:855-928). The fake derives deterministic
     * per-media quality metrics from the media_ref's (shard, index) so
     * modality logic, Spark plumbing AND the SQL oracle all see the same
-    * values.
+    * values. The enhancement KERNELS behind the plans are real —
+    * graft.functions.ImageKernels (Otsu, opening, despeckle, orientation)
+    * runs on deterministic synthetic pixel grids; only decode is faked.
     */
   def fakeDecodeQuality(mediaRef: String): QualityMetrics = {
     val (s, i) = refNums(mediaRef)

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.ImageKernels
+import graft.functions.ImageKernels.Gray
+
+/** Kernel goldens mirroring the reference's
+  * tests/unit/test_phase5_preprocessing.py:102-280 (despeckle component
+  * drop + glyph survival, orientation upright / blank-page safety) plus
+  * Otsu and opening contracts.
+  */
+class ImageKernelsSpec extends AnyFunSuite {
+
+  private def white(w: Int, h: Int) = Gray(w, h, Array.fill(w * h)(255))
+
+  test("Otsu separates a bimodal histogram between its modes") {
+    val px = Array.tabulate(64 * 64)(i => if (i % 64 < 32) 30 else 220)
+    val thr = ImageKernels.otsuThreshold(Gray(64, 64, px))
+    assert(thr >= 30 && thr < 220)
+    val bin = ImageKernels.binarize(Gray(64, 64, px), thr)
+    assert(bin.px.count(_ == 0) == 64 * 32 && bin.px.count(_ == 255) == 64 * 32)
+  }
+
+  test("despeckle removes isolated pixels; the glyph largely survives") {
+    // mirror of test_despeckle_removes_isolated_pixels: 100x100 white
+    // canvas, a 20x20 glyph, 5 single-pixel speckles
+    val img = white(100, 100)
+    for (y <- 40 until 60; x <- 40 until 60) img.px(y * 100 + x) = 0
+    Seq((5, 5), (15, 80), (80, 10), (90, 90), (33, 7))
+      .foreach { case (y, x) => img.px(y * 100 + x) = 0 }
+    val before = img.px.count(_ == 0)
+    val cleaned = ImageKernels.despeckle(img)
+    val after = cleaned.px.count(_ == 0)
+    assert(after < before, "despeckle should remove pixels")
+    assert(after >= 350, "glyph (~400 px) should largely survive")
+    // the speckles specifically are gone
+    Seq((5, 5), (15, 80), (80, 10), (90, 90), (33, 7))
+      .foreach { case (y, x) => assert(cleaned(y, x) == 255) }
+  }
+
+  test("opening removes 1px speckles and preserves a 3x3 block") {
+    val img = white(32, 32)
+    img.px(5 * 32 + 5) = 0 // isolated dark pixel
+    for (y <- 20 until 23; x <- 20 until 23) img.px(y * 32 + x) = 0
+    // invert so foreground (dark content) is the max domain of dilation
+    val opened = ImageKernels.invert(
+      ImageKernels.opening(ImageKernels.invert(img)))
+    assert(opened(5, 5) == 255, "isolated speckle survives opening")
+    assert(opened(21, 21) == 0, "block interior must survive opening")
+  }
+
+  test("orientation: upright text-band page never reports 180; blank page is 0") {
+    // mirror of test_upright_returns_zero: bands in the upper part, blank
+    // lower; 0 or 90 acceptable, 180 must not be returned
+    val page = ImageKernels.syntheticPage(3, 1)
+    val rot = ImageKernels.classifyOrientation(page)
+    assert(rot != 180, s"letterhead heuristic must block 180, got $rot")
+    // mirror of test_blank_page_returns_zero_safely
+    assert(ImageKernels.classifyOrientation(white(100, 100)) == 0)
+  }
+
+  test("enhance executes the x05 fax plan deterministically") {
+    val page = ImageKernels.syntheticPage(7, 2)
+    val out = ImageKernels.enhance(page, "deskew+otsu+open+despeckle")
+    assert(out.px.forall(v => v == 0 || v == 255), "fax plan output is binary")
+    // lower-half speckles are gone; some glyph band content survives
+    val w = out.width
+    val lowerBlack = (out.height / 2 until out.height)
+      .flatMap(y => (0 until w).map(x => out(y, x))).count(_ == 0)
+    assert(lowerBlack == 0, "despeckle must clear isolated lower-half speckles")
+    val upperBlack = (0 until out.height / 2)
+      .flatMap(y => (0 until w).map(x => out(y, x))).count(_ == 0)
+    assert(upperBlack > 100, "glyph bands survive the chain")
+    // determinism: same ref-derived page -> byte-identical output
+    val again = ImageKernels.enhance(ImageKernels.syntheticPage(7, 2),
+      "deskew+otsu+open+despeckle")
+    assert(out.px.sameElements(again.px))
+  }
+}
