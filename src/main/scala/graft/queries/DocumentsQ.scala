@@ -145,7 +145,15 @@ object DocumentsQ {
     bands.join(counts, keys)
   }
 
-  def d06MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** The operator's REAL output: every candidate pair surviving the
+    * signature-similarity gate, flagged `planted` (the SQL-derivable
+    * (id, id+10^7) recall rows) vs incidental base-base discoveries —
+    * production users consume this surface; d06 (the oracle row) is its
+    * planted projection, the only subset a SQL oracle can enumerate.
+    * Incidental behavior is spec-pinned (NearDupSurfaceSpec plants an
+    * exact-duplicate base pair and requires it here, unflagged).
+    */
+  def d06MinhashLshAll(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashVariants(spark, dir)
       .withColumn("sig", minhashUdf(col("text")))
       .select(col("doc_id"), col("sig"))
@@ -163,10 +171,15 @@ object DocumentsQ {
       .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
       .filter(minhashSimUdf(col("sig_a"), col("sig_b")) >= 0.5)
-      .filter(col("doc_b") === col("doc_a") + 10000000L)
+      .select(col("doc_a"), col("doc_b"),
+        (col("doc_b") === col("doc_a") + 10000000L).as("planted"))
+  }
+
+  def d06MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    d06MinhashLshAll(spark, dir)
+      .filter(col("planted"))
       .select(col("doc_a"), col("doc_b"))
       .orderBy("doc_a")
-  }
 
   /** SimHash planted positives: every doc gets a rotated variant (first
     * word moved to the end, id + 10^7). SimHash is a bag-of-tokens sketch,
@@ -189,7 +202,11 @@ object DocumentsQ {
     * simhashVariants — planted pairs are Hamming-0, so the oracle can
     * enumerate them; incidental base-base near-dups are spec-pinned).
     */
-  def d07Simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Full SimHash pair surface (see d06MinhashLshAll): candidate pairs
+    * within Hamming 12, `planted` distinguishing the provable recall rows
+    * from incidental base-base near-dups (spec-pinned).
+    */
+  def d07SimhashAll(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashVariants(spark, dir)
       .withColumn("sim", simhashUdf(col("text")))
       .select(col("doc_id"), col("sim"))
@@ -208,9 +225,14 @@ object DocumentsQ {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 12)
-      .filter(col("doc_b") === col("doc_a") + 10000000L)
-      .orderBy("doc_a")
+      .withColumn("planted", col("doc_b") === col("doc_a") + 10000000L)
   }
+
+  def d07Simhash(spark: SparkSession, dir: String): DataFrame =
+    d07SimhashAll(spark, dir)
+      .filter(col("planted"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a")
 
   /** Exact n-gram Jaccard over known candidate pairs (doc, variant). */
   def d08NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
