@@ -48,7 +48,14 @@ import graft.tokenize.SpanTokenizer
   */
 object ExtractJob {
 
-  /** heavyWeight sizing rule (measured, see BASELINE.md skew A/B): isolate a
+  /** Shuffle-partition sizing rule (measured, BASELINE.md round-3 wave A/B):
+    * on skewed corpora run MULTIPLE scheduling waves — shuffle partitions
+    * >= 3-4x total cores — so mega-doc task-duration variance can be
+    * rebalanced by the scheduler instead of extending the critical path
+    * (N-vs-4N efficiency 0.69 with 1 wave vs 0.89 with 4 on the 1.6M
+    * skewed corpus). Uniform corpora are fine at 1 wave.
+    *
+    * heavyWeight sizing rule (measured, see BASELINE.md skew A/B): isolate a
     * document only when it is a meaningful fraction (~5%) of one partition's
     * total char budget — below that, the salted uniform path absorbs the
     * skew for free, and isolation's extra input scan + shuffle wave is a net
