@@ -242,7 +242,8 @@ object Bench {
           // variance to absorb; eff ~1.0 measured). At 10^12 docs this is
           // the shuffle-partition sizing rule: partitions >= 3-4x cores
           // whenever per-partition work is skewed.
-          val mult = if (m.startsWith("skew")) 4 else 1
+          val mult = sys.env.get("SPARK_GRAFT_SHUFFLE_MULT").map(_.toInt)
+            .getOrElse(if (m.startsWith("skew")) 4 else 1)
           def passAt(c: Int): (Int, Double, Double, Double) = {
             val dpsN = spawnScaling(c, n, corpusBase, m, runs, mult)
             val dps4N = spawnScaling(c * 4, n, corpusBase, m, runs, mult)

@@ -100,4 +100,89 @@ object Export {
       .toDF("doc_id", "markdown")
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
+
+  // ---- bbox-overlay export (reference src/export/bbox_overlay.py WS-8) ----
+
+  /** The reference's visual contract constants (bbox_overlay.py:60-68). */
+  val OverlayOutlineWidthPx = 3
+  val OverlayFillAlpha = 64
+  val OverlayOutlineAlpha = 220
+
+  /** Confidence -> Material palette band (bbox_overlay.py:71-79):
+    * >= 0.85 green (auto-accept), >= 0.50 amber (retry), else red
+    * (human review); unknown -> grey.
+    */
+  def confidenceColor(confidence: Option[Double]): (String, (Int, Int, Int)) =
+    confidence match {
+      case None => ("grey", (158, 158, 158))
+      case Some(c) if c >= 0.85 => ("green", (76, 175, 80))
+      case Some(c) if c >= 0.50 => ("amber", (255, 193, 7))
+      case _ => ("red", (244, 67, 54))
+    }
+
+  /** `field_name (cc%)` label; Python round() is half-even -> rint. */
+  def overlayLabel(fieldName: String, confidence: Option[Double]): String =
+    confidence match {
+      case None => fieldName
+      case Some(c) => s"$fieldName (${math.rint(c * 100).toInt}%)"
+    }
+
+  /** One translucent rectangle of a page's overlay draw list. */
+  final case class OverlayRect(
+      fieldName: String,
+      color: String,
+      r: Int, g: Int, b: Int,
+      x0: Int, y0: Int, x1: Int, y1: Int,
+      label: String)
+
+  /** Normalized bbox -> clamped pixel rect + colour + label
+    * (bbox_overlay.py:291-321 _resolve_pixel_rect semantics: derive from
+    * normalized coords x page dims, floor-to-int, min-1px extent, clamp to
+    * bounds, drop degenerate rects).
+    */
+  def overlayRect(fieldName: String, bbox: graft.model.Bbox,
+      confidence: Option[Double], pageW: Int, pageH: Int): Option[OverlayRect] = {
+    var x0 = (bbox.x1 * pageW).toInt
+    var y0 = (bbox.y1 * pageH).toInt
+    var x1 = x0 + math.max(1, ((bbox.x2 - bbox.x1) * pageW).toInt)
+    var y1 = y0 + math.max(1, ((bbox.y2 - bbox.y1) * pageH).toInt)
+    x0 = math.max(0, math.min(x0, pageW - 1))
+    y0 = math.max(0, math.min(y0, pageH - 1))
+    x1 = math.max(0, math.min(x1, pageW))
+    y1 = math.max(0, math.min(y1, pageH))
+    if (x1 <= x0 || y1 <= y0) None
+    else {
+      val (name, (r, g, b)) = confidenceColor(confidence)
+      Some(OverlayRect(fieldName, name, r, g, b, x0, y0, x1, y1,
+        overlayLabel(fieldName, confidence)))
+    }
+  }
+
+  /** Bbox-overlay export: per (doc, page) draw lists of confidence-coloured
+    * translucent rectangles over the provenance-tagged spans — everything
+    * the reference's Pillow renderer consumes (rect, RGB, alpha/outline
+    * constants, `name (cc%)` label). PNG rasterization itself is the
+    * decode-gated final step (no imaging runtime in-container — same
+    * boundary as media decode); pages with no boxed spans are naturally
+    * absent, matching the reference's sparse overlay dir. Input `prov`
+    * is the x27-shaped frame joined with a per-doc confidence column.
+    */
+  def writeOverlayDrawList(prov: DataFrame, outDir: String,
+      pageW: Int = 1700, pageH: Int = 2200): Unit = {
+    import prov.sparkSession.implicits._
+    prov.select(col("doc_id"), col("page"), col("block_id"),
+        col("x1"), col("y1"), col("x2"), col("y2"), col("confidence"))
+      .as[(String, Int, String, Double, Double, Double, Double, Double)]
+      .flatMap { case (docId, page, blockId, bx1, by1, bx2, by2, conf) =>
+        overlayRect(blockId, graft.model.Bbox(bx1, by1, bx2, by2),
+          Some(conf), pageW, pageH)
+          .map(r => (docId, page, r.fieldName, r.color, r.r, r.g, r.b,
+            r.x0, r.y0, r.x1, r.y1, r.label,
+            OverlayOutlineWidthPx, OverlayFillAlpha, OverlayOutlineAlpha))
+      }
+      .toDF("doc_id", "page", "field", "color", "r", "g", "b",
+        "x0", "y0", "x1", "y1", "label",
+        "outline_width", "fill_alpha", "outline_alpha")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
 }

@@ -87,4 +87,51 @@ class ExportSpec extends AnyFunSuite {
     assert(back.exceptAll(Export.flatSpans(extracted)).isEmpty)
     assert(Export.flatSpans(extracted).exceptAll(back).isEmpty)
   }
+
+  test("overlay contract: confidence palette, label format, pixel rects") {
+    import graft.model.Bbox
+    // bands (bbox_overlay.py:71-79) incl. the boundary values
+    assert(Export.confidenceColor(Some(0.85)) == (("green", (76, 175, 80))))
+    assert(Export.confidenceColor(Some(0.50)) == (("amber", (255, 193, 7))))
+    assert(Export.confidenceColor(Some(0.49)) == (("red", (244, 67, 54))))
+    assert(Export.confidenceColor(None) == (("grey", (158, 158, 158))))
+    // label: "name (cc%)", Python-round (half-even) on the percentage
+    assert(Export.overlayLabel("npi", Some(0.845)) == "npi (84%)")
+    assert(Export.overlayLabel("npi", Some(0.875)) == "npi (88%)")
+    assert(Export.overlayLabel("npi", None) == "npi")
+    // pixel rect: floor, min-1px extent, clamp, degenerate drop
+    // (0.3-0.1)*1000 and (0.25-0.2)*800 truncate exactly as Python int():
+    // 199.999... -> 199, 39.999... -> 39
+    val r = Export.overlayRect("f", Bbox(0.1, 0.2, 0.3, 0.25), Some(0.9),
+      pageW = 1000, pageH = 800).get
+    assert((r.x0, r.y0, r.x1, r.y1) == ((100, 160, 299, 199)))
+    assert(r.color == "green" && r.label == "f (90%)")
+    // zero-width bbox still paints a 1px-wide rect
+    val thin = Export.overlayRect("f", Bbox(0.5, 0.5, 0.5, 0.6), Some(0.2),
+      pageW = 100, pageH = 100).get
+    assert(thin.x1 == thin.x0 + 1 && thin.color == "red")
+    // fully out-of-range rect is dropped after clamping
+    assert(Export.overlayRect("f", Bbox(1.2, 1.2, 1.5, 1.5), Some(0.9),
+      pageW = 100, pageH = 100).isEmpty)
+  }
+
+  test("overlay draw-list export over x27 provenance + x13 confidence") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val prov = graft.queries.ExtractionQ.x27SpanProvenance(spark, dir)
+    val conf = graft.queries.ExtractionQ.x13Routing(spark, dir)
+      .select(col("doc_id"), col("confidence"))
+    val out = Files.createTempDirectory("graft_overlay").toString
+    Export.writeOverlayDrawList(prov.join(conf, "doc_id"), s"$out/overlays")
+    val back = spark.read.parquet(s"$out/overlays")
+    assert(back.count() > 0)
+    assert(back.columns.contains("fill_alpha"))
+    val row = back.filter(col("color") === "green").limit(1).collect()
+    // constants from the visual contract
+    assert(back.select("outline_width").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(3))
+    assert(back.select("fill_alpha").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(64))
+    assert(row.isEmpty || row.head.getAs[String]("label").endsWith("%)"))
+  }
 }
