@@ -110,8 +110,13 @@ class ExportSpec extends AnyFunSuite {
     val thin = Export.overlayRect("f", Bbox(0.5, 0.5, 0.5, 0.6), Some(0.2),
       pageW = 100, pageH = 100).get
     assert(thin.x1 == thin.x0 + 1 && thin.color == "red")
-    // fully out-of-range rect is dropped after clamping
-    assert(Export.overlayRect("f", Bbox(1.2, 1.2, 1.5, 1.5), Some(0.9),
+    // beyond-right-edge rect clamps to a 1px corner sliver (kept, as the
+    // reference's clamp does); fully-negative coords clamp to zero extent
+    // and are dropped
+    val corner = Export.overlayRect("f", Bbox(1.2, 1.2, 1.5, 1.5), Some(0.9),
+      pageW = 100, pageH = 100).get
+    assert((corner.x0, corner.y0, corner.x1, corner.y1) == ((99, 99, 100, 100)))
+    assert(Export.overlayRect("f", Bbox(-0.5, -0.5, -0.2, -0.2), Some(0.9),
       pageW = 100, pageH = 100).isEmpty)
   }
 
