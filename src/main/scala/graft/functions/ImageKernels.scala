@@ -236,6 +236,97 @@ object ImageKernels {
     best
   }
 
+  /** CLAHE — Contrast-Limited Adaptive Histogram Equalization (the
+    * reference's default-path enhancement: clipLimit 2.0, 8x8 tile grid on
+    * the luminance channel, image_enhancer.py:175-182, 725+ `_apply_clahe`,
+    * settings.py:442-449; grids here are single-channel so the kernel runs
+    * on the gray values directly). The published algorithm: per-tile
+    * histograms clipped at clipLimit * tileArea / 256 with the clipped
+    * excess redistributed uniformly, per-tile equalization LUTs from the
+    * clipped CDF, and bilinear interpolation between the four surrounding
+    * tile LUTs at every pixel (which is what keeps tile seams invisible
+    * and noise amplification bounded).
+    */
+  def clahe(img: Gray, clipLimit: Double = 2.0, tiles: Int = 8): Gray = {
+    val w = img.width; val h = img.height
+    val tw = math.max(1, (w + tiles - 1) / tiles)
+    val th = math.max(1, (h + tiles - 1) / tiles)
+    val nx = (w + tw - 1) / tw
+    val ny = (h + th - 1) / th
+    val luts = Array.ofDim[Array[Int]](ny, nx)
+    var ty = 0
+    while (ty < ny) {
+      var tx = 0
+      while (tx < nx) {
+        val x0 = tx * tw; val x1 = math.min(x0 + tw, w)
+        val y0 = ty * th; val y1 = math.min(y0 + th, h)
+        val area = (x1 - x0) * (y1 - y0)
+        val hist = new Array[Int](256)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { hist(img.px(y * w + x)) += 1; x += 1 }
+          y += 1
+        }
+        val limit = math.max(1, (clipLimit * area / 256).toInt)
+        var excess = 0
+        var i = 0
+        while (i < 256) {
+          if (hist(i) > limit) { excess += hist(i) - limit; hist(i) = limit }
+          i += 1
+        }
+        // redistribute: an even share to every bin, then the residual
+        // spread with a stride across the range (front-loading the residual
+        // into low bins would skew the CDF — on a flat tile it maps
+        // everything to white instead of ~identity)
+        val bonus = excess / 256
+        i = 0
+        while (i < 256) { hist(i) += bonus; i += 1 }
+        val rem = excess % 256
+        if (rem > 0) {
+          val step = 256 / rem
+          var added = 0
+          i = 0
+          while (i < 256 && added < rem) { hist(i) += 1; added += 1; i += step }
+        }
+        val lut = new Array[Int](256)
+        var cum = 0
+        i = 0
+        while (i < 256) {
+          cum += hist(i)
+          lut(i) = math.min(255, math.max(0, math.round(cum * 255.0 / area).toInt))
+          i += 1
+        }
+        luts(ty)(tx) = lut
+        tx += 1
+      }
+      ty += 1
+    }
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val fy = (y - th / 2.0) / th
+      val ty0 = math.max(0, math.min(ny - 1, math.floor(fy).toInt))
+      val ty1 = math.min(ny - 1, ty0 + 1)
+      val wy = math.max(0.0, math.min(1.0, fy - ty0))
+      var x = 0
+      while (x < w) {
+        val fx = (x - tw / 2.0) / tw
+        val tx0 = math.max(0, math.min(nx - 1, math.floor(fx).toInt))
+        val tx1 = math.min(nx - 1, tx0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - tx0))
+        val v = img.px(y * w + x)
+        val top = (1 - wx) * luts(ty0)(tx0)(v) + wx * luts(ty0)(tx1)(v)
+        val bot = (1 - wx) * luts(ty1)(tx0)(v) + wx * luts(ty1)(tx1)(v)
+        out(y * w + x) =
+          math.min(255, math.max(0, math.round((1 - wy) * top + wy * bot).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, out)
+  }
+
   /** Deterministic synthetic page for a media ref's (shard, index): light
     * background, dark glyph bands in the upper half (runs broken by column
     * gaps so components are glyph-sized), speckle pixels scattered in the
@@ -268,10 +359,11 @@ object ImageKernels {
   }
 
   /** Mode-dispatched enhancement executor for the x05 plan strings
-    * (image_enhancer.py:195-298 mode selection): otsu / open / despeckle
-    * run the real kernels above; deskew / denoise / clahe remain identity
-    * stubs (documented — they need decoded source pixels and real content
-    * to be meaningful; the container has neither).
+    * (image_enhancer.py:195-298 mode selection): otsu / open / despeckle /
+    * clahe run the real kernels above; deskew / denoise remain identity
+    * stubs (documented — Hough-line deskew and NLM denoise need decoded
+    * source pixels and real content to be meaningful; the container has
+    * neither).
     */
   def enhance(img: Gray, plan: String): Gray =
     plan.split('+').foldLeft(img) { (g, step) =>
@@ -279,6 +371,7 @@ object ImageKernels {
         case "otsu" => binarize(g, otsuThreshold(g))
         case "open" => opening(g)
         case "despeckle" => despeckle(g)
+        case "clahe" => clahe(g)
         case _ => g
       }
     }

@@ -59,6 +59,31 @@ class ImageKernelsSpec extends AnyFunSuite {
     assert(ImageKernels.classifyOrientation(white(100, 100)) == 0)
   }
 
+  test("CLAHE boosts local contrast but stays bounded on flat regions") {
+    // low-contrast page: values compressed into [100, 140]
+    val px = Array.tabulate(64 * 64) { i =>
+      val y = i / 64
+      100 + (if (y % 8 < 4) (i % 40) else 40 - (i % 40)) % 41
+    }
+    val img = Gray(64, 64, px)
+    def stddev(g: Gray): Double = {
+      val m = g.px.map(_.toDouble).sum / g.px.length
+      math.sqrt(g.px.map(v => (v - m) * (v - m)).sum / g.px.length)
+    }
+    val eq = ImageKernels.clahe(img)
+    assert(eq.px.forall(v => v >= 0 && v <= 255))
+    assert(stddev(eq) > stddev(img) * 1.5, "local contrast should expand")
+    // clip limit bounds amplification: a FLAT image maps ~identity
+    // (unclipped AHE would blow a flat tile to the extremes); 256x256 so
+    // tiles have enough area for the redistribution to be smooth
+    val flat = Gray(256, 256, Array.fill(256 * 256)(120))
+    val flatEq = ImageKernels.clahe(flat)
+    assert(flatEq.px.forall(v => math.abs(v - 120) <= 4),
+      s"flat region amplified: ${flatEq.px.min}..${flatEq.px.max}")
+    // deterministic
+    assert(ImageKernels.clahe(img).px.sameElements(eq.px))
+  }
+
   test("enhance executes the x05 fax plan deterministically") {
     val page = ImageKernels.syntheticPage(7, 2)
     val out = ImageKernels.enhance(page, "deskew+otsu+open+despeckle")
