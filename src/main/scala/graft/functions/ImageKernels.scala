@@ -236,6 +236,157 @@ object ImageKernels {
     best
   }
 
+  /** Nearest-neighbor rotation with an expanded canvas (the reference's
+    * warpAffine-with-expanded-canvas deskew step,
+    * image_enhancer.py:410-518): every source pixel stays visible, new
+    * canvas area is `background`.
+    */
+  def rotate(img: Gray, deg: Double, background: Int = 255): Gray = {
+    val rad = math.toRadians(deg)
+    val c = math.cos(rad); val s = math.sin(rad)
+    val w = img.width; val h = img.height
+    val nw = math.ceil(w * math.abs(c) + h * math.abs(s)).toInt
+    val nh = math.ceil(w * math.abs(s) + h * math.abs(c)).toInt
+    val out = Array.fill(nw * nh)(background)
+    val cx = (w - 1) / 2.0; val cy = (h - 1) / 2.0
+    val ncx = (nw - 1) / 2.0; val ncy = (nh - 1) / 2.0
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        val dx = x - ncx; val dy = y - ncy
+        val sx = math.rint(c * dx + s * dy + cx).toInt
+        val sy = math.rint(-s * dx + c * dy + cy).toInt
+        if (sx >= 0 && sx < w && sy >= 0 && sy < h)
+          out(y * nw + x) = img.px(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Gray(nw, nh, out)
+  }
+
+  /** Sheared projection profile sharpness: text-line density sampled along
+    * lines of slope tan(deg) (rr = r + c·tan), scored by the sum of squared
+    * adjacent-bin differences — the classic projection-profile skew
+    * criterion (sharp, well-separated line profiles maximize it). No image
+    * resampling, so thin text lines aren't destroyed by rotation aliasing.
+    */
+  def shearProfileScore(binary: Gray, deg: Double): Double = {
+    val t = math.tan(math.toRadians(deg))
+    val w = binary.width; val h = binary.height
+    val sums = new Array[Double](h)
+    var c = 0
+    while (c < w) {
+      val off = math.rint(c * t).toInt
+      var r = 0
+      while (r < h) {
+        val rr = r + off
+        if (rr >= 0 && rr < h) sums(r) += binary.px(rr * w + c)
+        r += 1
+      }
+      c += 1
+    }
+    var s = 0.0
+    var i = 1
+    while (i < h) { val d = sums(i) - sums(i - 1); s += d * d; i += 1 }
+    s
+  }
+
+  /** Skew-angle estimation by shear-projection-profile maximization (the
+    * published projection-profile method). Same CONTRACT as the reference's
+    * Canny→Hough→median estimator (image_enhancer.py:410-518: dominant
+    * text-line angle, clamp ±45°) but with no edge-detector dependency — a
+    * deliberate re-expression, not a port. Coarse 1° scan then fine 0.1°
+    * around the winner. Returns the CONTENT's skew (the angle the page was
+    * rotated by); the correcting rotation is its negation.
+    */
+  def estimateSkewAngle(img: Gray, maxAngle: Double = 45.0): Double = {
+    val binary = binarizeInv(img, otsuThreshold(img))
+    def score(deg: Double): Double = shearProfileScore(binary, deg)
+    var best = 0.0
+    var bestScore = score(0.0)
+    var a = -maxAngle
+    while (a <= maxAngle + 1e-9) {
+      val sc = score(a)
+      if (sc > bestScore) { bestScore = sc; best = a }
+      a += 1.0
+    }
+    val center = best
+    a = center - 0.9
+    while (a <= center + 0.9 + 1e-9) {
+      val sc = score(a)
+      if (sc > bestScore) { bestScore = sc; best = a }
+      a += 0.1
+    }
+    math.max(-maxAngle, math.min(maxAngle, best))
+  }
+
+  /** Deskew (image_enhancer.py:410-518 contract): estimate the skew angle,
+    * skip below the reference's 0.5° threshold (never churn a straight
+    * page), rotate back by the negated estimate with an expanded canvas.
+    */
+  def deskew(img: Gray): Gray = {
+    val angle = estimateSkewAngle(img)
+    if (math.abs(angle) < 0.5) img else rotate(img, -angle)
+  }
+
+  /** Non-Local Means denoise (image_enhancer.py:520-573 contract:
+    * fastNlMeansDenoising, strength h 10 default — lowered for handwritten
+    * — 7px template, 21px search). The published NLM form: each pixel
+    * becomes the similarity-weighted mean of its search window, weights
+    * exp(-patchDist²/h²) over template-patch distances. Direct O(n·S²·T²)
+    * evaluation — fine at synthetic-grid sizes; production swaps the
+    * integral-image fast variant behind the same signature.
+    */
+  def nlMeansDenoise(img: Gray, strength: Double = 10.0,
+      templateSize: Int = 7, searchSize: Int = 21): Gray = {
+    val w = img.width; val h = img.height
+    val tr = templateSize / 2
+    val sr = searchSize / 2
+    val h2 = strength * strength
+    def px(y: Int, x: Int): Int = // replicate border
+      img.px(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x)))
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var wsum = 0.0
+        var acc = 0.0
+        var sy = y - sr
+        while (sy <= y + sr) {
+          var sx = x - sr
+          while (sx <= x + sr) {
+            // mean squared distance between the two template patches
+            var d2 = 0.0
+            var ty = -tr
+            while (ty <= tr) {
+              var tx = -tr
+              while (tx <= tr) {
+                val d = px(y + ty, x + tx) - px(sy + ty, sx + tx)
+                d2 += d * d
+                tx += 1
+              }
+              ty += 1
+            }
+            d2 /= (templateSize * templateSize)
+            val wgt = math.exp(-d2 / h2)
+            wsum += wgt
+            acc += wgt * px(sy, sx)
+            sx += 1
+          }
+          sy += 1
+        }
+        out(y * w + x) =
+          math.min(255, math.max(0, math.rint(acc / wsum).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, out)
+  }
+
   /** CLAHE — Contrast-Limited Adaptive Histogram Equalization (the
     * reference's default-path enhancement: clipLimit 2.0, 8x8 tile grid on
     * the luminance channel, image_enhancer.py:175-182, 725+ `_apply_clahe`,
@@ -359,15 +510,18 @@ object ImageKernels {
   }
 
   /** Mode-dispatched enhancement executor for the x05 plan strings
-    * (image_enhancer.py:195-298 mode selection): otsu / open / despeckle /
-    * clahe run the real kernels above; deskew / denoise remain identity
-    * stubs (documented — Hough-line deskew and NLM denoise need decoded
-    * source pixels and real content to be meaningful; the container has
-    * neither).
+    * (image_enhancer.py:195-298 mode selection) — every step is now a real
+    * kernel: deskew (projection-profile angle + expanded-canvas rotate),
+    * denoise / denoise_light (NLM at strength 10 / 5 — the reference
+    * lowers strength for handwritten), otsu, open, despeckle, clahe. Only
+    * the pixel DECODE upstream of these remains stubbed.
     */
   def enhance(img: Gray, plan: String): Gray =
     plan.split('+').foldLeft(img) { (g, step) =>
       step match {
+        case "deskew" => deskew(g)
+        case "denoise" => nlMeansDenoise(g, 10.0)
+        case "denoise_light" => nlMeansDenoise(g, 5.0)
         case "otsu" => binarize(g, otsuThreshold(g))
         case "open" => opening(g)
         case "despeckle" => despeckle(g)

@@ -84,6 +84,45 @@ class ImageKernelsSpec extends AnyFunSuite {
     assert(ImageKernels.clahe(img).px.sameElements(eq.px))
   }
 
+  test("deskew recovers a planted 3-degree skew; straight pages are untouched") {
+    val page = ImageKernels.syntheticPage(5, 1, 96, 96)
+    val skewed = ImageKernels.rotate(page, 3.0)
+    val est = ImageKernels.estimateSkewAngle(skewed)
+    assert(math.abs(est - 3.0) <= 0.5, s"estimated $est for a +3.0 skew")
+    // the corrected page's sheared-at-0 profile is sharp again (the
+    // deskew success criterion of the estimator's own metric)
+    val fixed = ImageKernels.deskew(skewed)
+    def profile0(g: Gray): Double =
+      ImageKernels.shearProfileScore(
+        ImageKernels.binarizeInv(g, ImageKernels.otsuThreshold(g)), 0.0)
+    assert(profile0(fixed) > profile0(skewed) * 2,
+      "deskew should restore horizontal text bands")
+    // sub-0.5-degree estimates are skipped: never churn a straight page
+    assert(ImageKernels.deskew(page).px.sameElements(page.px))
+  }
+
+  test("NLM denoise removes impulse noise, preserves edges and flat regions") {
+    val w = 48; val h = 48
+    val clean = Array.tabulate(w * h)(i => if (i % w < w / 2) 80 else 180)
+    // moderate +-25 perturbations on ~1/7 of pixels — the grain NLM at
+    // strength 10 is built for (extreme impulses are despeckle's job)
+    val noisy = clean.clone()
+    noisy.indices.foreach { i =>
+      if ((i * 31) % 7 == 0) noisy(i) = clean(i) + (if (i % 2 == 0) 25 else -25)
+    }
+    def mse(a: Array[Int], b: Array[Int]): Double =
+      a.indices.map(i => { val d = a(i) - b(i); d.toDouble * d }).sum / a.length
+    val den = ImageKernels.nlMeansDenoise(Gray(w, h, noisy))
+    assert(mse(den.px, clean) < mse(noisy, clean) * 0.5,
+      s"noise not reduced: ${mse(den.px, clean)} vs ${mse(noisy, clean)}")
+    // the step edge survives (NLM's point over a box blur)
+    val mid = h / 2 * w
+    assert(den.px(mid + w / 2 - 3) < 110 && den.px(mid + w / 2 + 2) > 150)
+    // flat input passes through identically
+    val flat = ImageKernels.nlMeansDenoise(Gray(16, 16, Array.fill(256)(100)))
+    assert(flat.px.forall(_ == 100))
+  }
+
   test("enhance executes the x05 fax plan deterministically") {
     val page = ImageKernels.syntheticPage(7, 2)
     val out = ImageKernels.enhance(page, "deskew+otsu+open+despeckle")
