@@ -604,6 +604,28 @@ object OracleX {
       "FROM h ORDER BY doc_id"
   }
 
+  /** Consolidated-export mirror (x28): the planted outcomes are pure id
+    * arithmetic — the field-name PHI set is constant (member_id /
+    * patient_name / provider_name), contact_info joins it on the planted
+    * SSN-shape docs, the schema gap (empty auth_code) lands every 5th doc,
+    * and duplicate-group sizes follow from the x19 patient-name schedule.
+    */
+  val x28: String =
+    "WITH r0 AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did FROM documents), " +
+      "f AS (SELECT id, did, " +
+      "CASE WHEN id % 53 = 0 THEN 'john doe' WHEN id % 47 = 0 THEN 'dup value' " +
+      "ELSE 'alice ' || substr('pqrstuv', CAST(id % 7 AS INT) + 1, 1) END AS patient_name FROM r0), " +
+      "g AS (SELECT id, did, patient_name, " +
+      "CASE WHEN id % 19 = 0 THEN 'contact_info,member_id,patient_name,provider_name' " +
+      "ELSE 'member_id,patient_name,provider_name' END AS masked_fields, " +
+      "(id % 5 <> 0) AS is_complete, " +
+      "CASE WHEN id % 5 = 0 THEN CAST(9 AS DOUBLE) / 10 ELSE CAST(10 AS DOUBLE) / 10 END AS completeness, " +
+      "CAST(CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_empty FROM f) " +
+      "SELECT did AS doc_id, patient_name AS primary_norm, masked_fields, " +
+      "is_complete, completeness, n_empty, " +
+      "COUNT(*) OVER (PARTITION BY patient_name) AS dup_group_size " +
+      "FROM g ORDER BY doc_id"
+
   // ---- code validators (x20) + fax signals (x21) ----
 
   val x20: String = {
@@ -814,5 +836,6 @@ object OracleX {
     "x07_golden_f1" -> x07, "x08_suspicion" -> x08, "x09_table_sum_rule" -> x09,
     "x10_code_validation" -> x10, "x11_calibration" -> x11,
     "x12_media_pipeline" -> x12, "x13_routing" -> x13,
-    "x26_review_queue" -> x26, "x27_span_provenance" -> x27)
+    "x26_review_queue" -> x26, "x27_span_provenance" -> x27,
+    "x28_consolidated" -> x28)
 }

@@ -90,6 +90,7 @@ object SparkEntry {
     "x25_run_comparison" -> (ExtractionQ.x25RunComparison _),
     "x26_review_queue" -> (ExtractionQ.x26ReviewQueue _),
     "x27_span_provenance" -> (ExtractionQ.x27SpanProvenance _),
+    "x28_consolidated" -> (ExtractionQ.x28Consolidated _),
     "d16_length_quantiles" -> (DocumentsQ.d16LengthQuantiles _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),

@@ -101,6 +101,46 @@ object Export {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  // ---- consolidated export (reference src/export/consolidated_export.py) ----
+
+  /** Cross-page duplicate detection (consolidated_export.py:53-83): group
+    * record indices by the whitespace-collapsed lowercase primary
+    * identifier; keep groups with more than one member.
+    */
+  def detectDuplicates(primaryIdentifiers: Seq[String]): Map[String, Seq[Int]] =
+    primaryIdentifiers.zipWithIndex
+      .groupBy { case (ident, _) =>
+        graft.functions.Strings.splitWs(
+          (if (ident == null) "" else ident).toLowerCase).mkString(" ")
+      }
+      .collect { case (norm, members) if members.length > 1 =>
+        norm -> members.map(_._2)
+      }
+
+  /** Record completeness vs schema (consolidated_export.py:86-118): missing
+    * required fields, empty fields, completeness = non-empty / expected.
+    */
+  final case class Completeness(
+      isComplete: Boolean,
+      missingRequired: Seq[String],
+      emptyFields: Seq[String],
+      completenessScore: Double)
+
+  def validateCompleteness(fields: Map[String, String],
+      schemaFields: Seq[(String, Boolean)]): Completeness = {
+    def empty(v: String): Boolean = v == null || v.isEmpty
+    val missingRequired = schemaFields.collect {
+      case (name, true) if fields.get(name).forall(empty) => name
+    }
+    val emptyFields = fields.toSeq.collect { case (n, v) if empty(v) => n }.sorted
+    val nonEmpty = fields.size - emptyFields.length
+    Completeness(
+      isComplete = missingRequired.isEmpty,
+      missingRequired = missingRequired,
+      emptyFields = emptyFields,
+      completenessScore = nonEmpty.toDouble / math.max(schemaFields.length, 1))
+  }
+
   // ---- bbox-overlay export (reference src/export/bbox_overlay.py WS-8) ----
 
   /** The reference's visual contract constants (bbox_overlay.py:60-68). */

@@ -844,6 +844,61 @@ object ExtractionQ {
       .orderBy("field")
   }
 
+  /** Record shape for the consolidated-export surface: the x19 named-field
+    * record plus a free-text contact field (an SSN shape planted every 19th
+    * doc — the value-pattern masking fallback must catch it in a field
+    * whose NAME is not PHI) and an auth code required by the schema but
+    * empty every 5th doc (the completeness check's planted gap).
+    */
+  private[queries] def consolidatedRecord(id: Long): Map[String, String] =
+    recordFields(id) ++ Map(
+      "contact_info" -> (if (id % 19 == 0) "ssn 123-45-6789" else "call later"),
+      "auth_code" -> (if (id % 5 == 0) "" else "A" + (id % 97)))
+
+  private val consolidatedSchema: Seq[(String, Boolean)] = Seq(
+    "patient_name" -> true, "provider_name" -> false, "notes" -> false,
+    "description" -> false, "member_id" -> true, "ref_a" -> false,
+    "ref_b" -> false, "ref_c" -> false, "contact_info" -> false,
+    "auth_code" -> true)
+
+  /** Consolidated-export surface (consolidated_export.py + phi_mask.py):
+    * per-record PHI masking at the export chokepoint (field-name patterns +
+    * the value-shape fallback), completeness validation against the schema,
+    * and cross-page duplicate detection by normalized primary identifier
+    * (here: group size over the corpus via a window — the distributed form
+    * of detect_duplicates' driver-side grouping). All planted outcomes are
+    * id arithmetic, so the whole surface is DuckDB-oracled.
+    */
+  def x28Consolidated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PhiMask
+    import graft.pipeline.Export
+    val perDoc = load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rec = consolidatedRecord(id)
+          val masked = PhiMask.maskRecord(rec)
+          val maskedFields = rec.keys.toSeq.sorted
+            .filter(k => masked(k) != rec(k))
+          val c = Export.validateCompleteness(rec, consolidatedSchema)
+          val primaryNorm = graft.functions.Strings
+            .splitWs(rec("patient_name").toLowerCase).mkString(" ")
+          (graft.tokenize.DocGen.docIdStr(id), primaryNorm,
+            maskedFields.mkString(","), c.isComplete,
+            c.completenessScore, c.emptyFields.length)
+        }
+      }
+      .toDF("doc_id", "primary_norm", "masked_fields", "is_complete",
+        "completeness", "n_empty")
+    import org.apache.spark.sql.expressions.Window
+    perDoc
+      .withColumn("dup_group_size",
+        count(lit(1)).over(Window.partitionBy(col("primary_norm"))))
+      .orderBy("doc_id")
+  }
+
   /** Per-span provenance surface (provenance.py:66-171): every extracted
     * span carries (page, normalized bbox, source_block_id, extraction_path)
     * from the kernel — the audit/replay leaf a downstream exporter renders
