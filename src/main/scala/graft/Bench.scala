@@ -100,7 +100,7 @@ object Bench {
       case "full" | "skew" => extractRun(spark, corpus, nDocs, outDir)
       case "skew_noiso" =>
         extractRun(spark, corpus, nDocs, outDir, isolateHeavy = false)
-      case "kernel" =>
+      case "kernel" | "skew_kernel" =>
         val t0 = System.nanoTime()
         docs.mapPartitions(graft.tokenize.SpanTokenizer.extractPartition(_))
           .agg(sum("n_spans")).collect()
