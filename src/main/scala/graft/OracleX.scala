@@ -824,6 +824,48 @@ object OracleX {
       "CAST(SUM(conf_pct) AS DOUBLE) / count(*) / 100.0 AS confidence " +
       "FROM s GROUP BY did, segment ORDER BY doc_id, segment"
 
+  /** x29 mirror — decoded-pixel quality re-derived WITHOUT any codec: the
+    * PNG round-trip is lossless, so the decoded pixels equal the synthetic
+    * page arithmetic (ImageKernels.syntheticPage): 64x64 grid, glyph bands
+    * in rows r<32 with r%8 in 4..6 (column gaps every (s+c)%7==0), 12
+    * speckle pixels in the lower half, 235 background. The Laplacian's
+    * BORDER_REFLECT_101 neighbors come from lag/lead windows (at an edge the
+    * missing side coalesces to the opposite neighbor — exactly reflect-101
+    * for a 3x3 kernel). Sums are exact integers and the final divisions are
+    * by the power-of-two pixel count, so every metric is bit-exact vs the
+    * Scala kernel.
+    */
+  val x29: String = recon() +
+    s", m AS (SELECT id, did, unnest($mediaNums) AS x FROM recon), " +
+    "px AS (SELECT did, x.s AS s, x.i AS i, rr.r AS r, cc.c AS c, " +
+    "CAST(CASE WHEN rr.r < 32 AND rr.r % 8 >= 4 AND rr.r % 8 <= 6 AND (x.s + cc.c) % 7 <> 0 " +
+    "THEN 20 + (x.s * cc.c + x.i * rr.r) % 30 " +
+    "WHEN rr.r >= 32 AND len([k FOR k IN range(0, 12) " +
+    "IF 32 + (x.s*13 + x.i*7 + k*31) % 32 = rr.r AND (x.s*17 + x.i*11 + k*43) % 64 = cc.c]) > 0 " +
+    "THEN 10 ELSE 235 END AS BIGINT) AS v " +
+    "FROM m, range(0, 64) rr(r), range(0, 64) cc(c)), " +
+    "lap AS (SELECT did, s, i, v, " +
+    "coalesce(lag(v) OVER wr, lead(v) OVER wr) + coalesce(lead(v) OVER wr, lag(v) OVER wr) " +
+    "+ coalesce(lag(v) OVER wc, lead(v) OVER wc) + coalesce(lead(v) OVER wc, lag(v) OVER wc) " +
+    "- 4 * v AS lp FROM px " +
+    "WINDOW wr AS (PARTITION BY did, i, c ORDER BY r), " +
+    "wc AS (PARTITION BY did, i, r ORDER BY c)), " +
+    "agg AS (SELECT did, s, i, sum(v) AS sv, sum(v*v) AS sv2, " +
+    "sum(lp) AS sl, sum(lp*lp) AS sl2 FROM lap GROUP BY 1, 2, 3), " +
+    "q AS (SELECT did, s, i, CAST(sv AS DOUBLE) / 4096.0 AS brightness, " +
+    "sqrt(CAST(sv2 AS DOUBLE) / 4096.0 - (CAST(sv AS DOUBLE) / 4096.0) * (CAST(sv AS DOUBLE) / 4096.0)) AS contrast, " +
+    "CAST(sl2 AS DOUBLE) / 4096.0 - (CAST(sl AS DOUBLE) / 4096.0) * (CAST(sl AS DOUBLE) / 4096.0) AS lap_var FROM agg) " +
+    "SELECT did AS doc_id, " +
+    "'s3://graft-corpus/media/' || CAST(s AS VARCHAR) || '/' || did || '_' || CAST(i AS VARCHAR) || '.png' AS media_ref, " +
+    "brightness, contrast, lap_var, " +
+    "greatest(CAST(0.0 AS DOUBLE), least(CAST(100.0 AS DOUBLE), " +
+    "least(CAST(100.0 AS DOUBLE), lap_var / 10.0) * 0.4 " +
+    "+ least(CAST(100.0 AS DOUBLE), contrast * 2.0) * 0.3 " +
+    "+ (100.0 - abs(brightness - 128.0) * 0.78) * 0.3)) AS quality_score, " +
+    "contrast < 30.0 AS low_contrast, brightness < 100.0 AS is_dark, " +
+    "(brightness > 200.0 AND contrast < 40.0) AS is_washed_out " +
+    "FROM q ORDER BY doc_id, media_ref"
+
   val all: Map[String, String] = Map(
     "x14_cross_field" -> x14, "x15_confidence" -> x15, "x16_critic" -> x16,
     "x17_golden_eval" -> x17, "x18_field_f1" -> x18, "x19_record_suspicion" -> x19,
@@ -837,5 +879,5 @@ object OracleX {
     "x10_code_validation" -> x10, "x11_calibration" -> x11,
     "x12_media_pipeline" -> x12, "x13_routing" -> x13,
     "x26_review_queue" -> x26, "x27_span_provenance" -> x27,
-    "x28_consolidated" -> x28)
+    "x28_consolidated" -> x28, "x29_decoded_quality" -> x29)
 }

@@ -91,6 +91,7 @@ object SparkEntry {
     "x26_review_queue" -> (ExtractionQ.x26ReviewQueue _),
     "x27_span_provenance" -> (ExtractionQ.x27SpanProvenance _),
     "x28_consolidated" -> (ExtractionQ.x28Consolidated _),
+    "x29_decoded_quality" -> (ExtractionQ.x29DecodedQuality _),
     "d16_length_quantiles" -> (DocumentsQ.d16LengthQuantiles _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),

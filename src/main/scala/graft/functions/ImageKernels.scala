@@ -10,15 +10,18 @@ package graft.functions
   *   - despeckle via 8-connected components below a min area (:605-643)
   *   - 4-way orientation classifier from row-density variance with the
   *     letterhead upper-half heuristic (:645-720)
+  *   - deskew via shear-projection-profile angle estimation + expanded-canvas
+  *     rotation (:410-518 contract)
+  *   - Non-Local Means denoise at strength 10 / 5-light (:520-573 contract)
+  *   - CLAHE, clip 2.0 on an 8x8 tile grid with bilinear LUT blending
+  *     (:175-182, 725+)
   *
-  * Pixel DECODE remains the documented deterministic stub (this container
-  * ships no codecs — SpanTokenizer.fakeDecodeQuality), so the kernels run
-  * on deterministic synthetic pages (`syntheticPage`, pure (shard, index)
-  * arithmetic). Spec goldens mirror the reference's
-  * tests/unit/test_phase5_preprocessing.py:102-280. The x05 enhancement
-  * plans ("deskew+otsu+open+despeckle", ...) are executable against a grid
-  * via `enhance`; deskew/denoise/clahe stay identity stubs pending a real
-  * decoder.
+  * ALL SEVEN kernels are real algorithms — `enhance` dispatches every plan
+  * step. Pixels arrive either from real PNG bytes via `javax.imageio`
+  * (DocGen.encodePng / decodePng round-trip) or from the deterministic
+  * synthetic pages (`syntheticPage`, pure (shard, index) arithmetic) that
+  * those PNGs encode. Spec goldens mirror the reference's
+  * tests/unit/test_phase5_preprocessing.py:102-280.
   */
 object ImageKernels {
 
@@ -507,6 +510,115 @@ object ImageKernels {
       k += 1
     }
     Gray(w, h, px)
+  }
+
+  /** Lossless PNG encode of a grayscale grid via the JDK's own codec
+    * (`javax.imageio` — no external image libraries). DocGen uses this to
+    * materialize the synthetic corpus's media blobs as REAL PNG bytes, so
+    * the decode path below exercises an actual codec round-trip.
+    */
+  def encodePng(img: Gray): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = bi.getRaster
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        raster.setSample(x, y, 0, img.px(y * img.width + x))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", out)
+    out.toByteArray
+  }
+
+  /** Real pixel decode via the JDK's PNG/JPEG/BMP readers — the decode step
+    * the reference runs through PIL/cv2 (pdf_processor.py:466-559 render
+    * path). Gray conversion uses the standard ITU-R 601 luma for color
+    * inputs; 8-bit gray PNGs round-trip exactly.
+    */
+  def decodePng(bytes: Array[Byte]): Gray = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(bi != null, "undecodable image bytes")
+    val w = bi.getWidth; val h = bi.getHeight
+    val px = new Array[Int](w * h)
+    val gray = bi.getColorModel.getNumComponents == 1
+    val raster = bi.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) =
+          if (gray) raster.getSample(x, y, 0)
+          else {
+            val rgb = bi.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            math.rint(0.299 * r + 0.587 * g + 0.114 * b).toInt
+          }
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w, h, px)
+  }
+
+  /** Decoded-pixel quality metrics (image_enhancer.py:855-928 contract):
+    * mean brightness, std-dev contrast, and blur = variance of the 3x3
+    * Laplacian ([[0,1,0],[1,-4,1],[0,1,0]], cv2.Laplacian ksize=1) with
+    * cv2's default BORDER_REFLECT_101. Sums accumulate in Long (pixel
+    * values are integers, so every sum is exact) and the final divisions
+    * mirror the SQL oracle op-for-op — the metrics are bit-exact
+    * re-derivable in DuckDB from the synthetic page arithmetic.
+    */
+  final case class PixelQuality(
+      brightness: Double, contrast: Double, lapVar: Double) {
+    def lowContrast: Boolean = contrast < 30.0
+    def isDark: Boolean = brightness < 100.0
+    def isWashedOut: Boolean = brightness > 200.0 && contrast < 40.0
+    // _calculate_quality_score (image_enhancer.py:909-928): 0-100 composite
+    def qualityScore: Double = {
+      val sharpness = math.min(100.0, lapVar / 10.0)
+      val contrastScore = math.min(100.0, contrast * 2.0)
+      val brightnessScore = 100.0 - math.abs(brightness - 128.0) * 0.78
+      val s = sharpness * 0.4 + contrastScore * 0.3 + brightnessScore * 0.3
+      math.max(0.0, math.min(100.0, s))
+    }
+  }
+
+  def qualityOf(img: Gray): PixelQuality = {
+    val w = img.width; val h = img.height
+    val n = (w * h).toDouble
+    var sum = 0L; var sumSq = 0L
+    var i = 0
+    while (i < img.px.length) {
+      val v = img.px(i).toLong
+      sum += v; sumSq += v * v
+      i += 1
+    }
+    val mean = sum.toDouble / n
+    val contrast = math.sqrt(sumSq.toDouble / n - mean * mean)
+    // BORDER_REFLECT_101: index -1 mirrors to 1, index n mirrors to n-2
+    var lSum = 0L; var lSq = 0L
+    var y = 0
+    while (y < h) {
+      val yu = if (y == 0) 1 else y - 1
+      val yd = if (y == h - 1) h - 2 else y + 1
+      var x = 0
+      while (x < w) {
+        val xl = if (x == 0) 1 else x - 1
+        val xr = if (x == w - 1) w - 2 else x + 1
+        val lap = (img.px(yu * w + x) + img.px(yd * w + x) +
+          img.px(y * w + xl) + img.px(y * w + xr) - 4 * img.px(y * w + x)).toLong
+        lSum += lap; lSq += lap * lap
+        x += 1
+      }
+      y += 1
+    }
+    val lMean = lSum.toDouble / n
+    PixelQuality(mean, contrast, lSq.toDouble / n - lMean * lMean)
   }
 
   /** Mode-dispatched enhancement executor for the x05 plan strings

@@ -39,12 +39,13 @@ final class LocalManifestStore(outDir: String) extends SnapshotStore {
 
   override def committedBuckets(): Set[Int] = {
     if (!Files.isDirectory(dir)) return Set.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
-        s.stripPrefix("bucket-").stripSuffix(".json").toInt
-      }
-      .toSet
+    scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+          s.stripPrefix("bucket-").stripSuffix(".json").toInt
+        }
+        .toSet)
   }
 
   override def commit(m: BucketManifest): Unit = {

@@ -106,8 +106,8 @@ object ExtractJob {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.walk(p))(
+        _.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_)))
 
   /** Sweep stale state from a previous crashed run: temp dirs, and any group
     * dir whose buckets are not ALL manifest-committed (a crash between the
@@ -127,14 +127,17 @@ object ExtractJob {
       committed: Set[Int]): Set[Int] = {
     val root = Paths.get(outDir)
     if (!Files.isDirectory(root)) return committed
-    Files.list(root).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".tmp-group-"))
-      .foreach(deleteRecursively)
+    scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".tmp-group-"))
+        .toSeq.foreach(deleteRecursively))
     var alive = committed
     val dataDir = root.resolve("data")
     if (!Files.isDirectory(dataDir)) return alive
-    Files.list(dataDir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("group="))
+    scala.util.Using.resource(Files.list(dataDir))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("group="))
+        .toSeq)
       .foreach { d =>
         val buckets = d.getFileName.toString.stripPrefix("group=")
           .split('-').flatMap(s => scala.util.Try(s.toInt).toOption)

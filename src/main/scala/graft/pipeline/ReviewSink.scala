@@ -1,7 +1,9 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,13 +20,14 @@ import org.apache.spark.sql.functions._
   *                           being claimed — later passes must NOT resurrect)
   *
   * Scale/commit design: the queue write is ONE atomic-rename commit guarded
-  * by a manifest (the same exactly-once protocol as ExtractJob's groups) —
-  * re-running the sink over the same outDir is a no-op; a crash between the
-  * rename and the manifest commit leaves an uncommitted queue dir the next
-  * run sweeps and rewrites. Redelivery passes are narrow map-only column
-  * updates (no shuffle, Catalyst collapses the pass chain into one
-  * projection); at 10^12 docs the queue is a small filtered side table of
-  * the routing output.
+  * by a typed queue manifest (same atomic temp-file + rename protocol as the
+  * extraction buckets' manifests, but its own record type — queue stats must
+  * never be mis-summed into extraction doc/span totals) — re-running the
+  * sink over the same outDir is a no-op; a crash between the rename and the
+  * manifest commit leaves an uncommitted queue dir the next run sweeps and
+  * rewrites. Redelivery passes are narrow map-only column updates (no
+  * shuffle, Catalyst collapses the pass chain into one projection); at 10^12
+  * docs the queue is a small filtered side table of the routing output.
   *
   * Delivery itself is a documented deterministic STUB (like media decode —
   * no network in this container): attempt `p` for numeric doc id succeeds
@@ -46,16 +49,56 @@ object ReviewSink {
   /** STUB — deterministic stand-in for the webhook delivery attempt. */
   def deliverySucceeds(id: Long, pass: Int): Boolean = (id + 7L * pass) % 5 == 0
 
+  /** The queue's durability record — named queue-domain fields, so no reader
+    * can confuse delivered/dead counts with extraction doc/span totals.
+    */
+  final case class QueueManifest(
+      nEntries: Long,
+      nDelivered: Long,
+      nDead: Long,
+      runId: String)
+
   final case class SinkStats(
       nEntries: Long,
       nDelivered: Long,
       nDead: Long,
       committedBefore: Boolean)
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private def manifestPath(outDir: String): Path =
+    Paths.get(outDir, "_manifests", "queue.json")
+
+  private def commitManifest(outDir: String, m: QueueManifest): Unit = {
+    val p = manifestPath(outDir)
+    Files.createDirectories(p.getParent)
+    val json =
+      s"""{"n_entries":${m.nEntries},"n_delivered":${m.nDelivered},""" +
+        s""""n_dead":${m.nDead},"run_id":"${m.runId}"}"""
+    val tmp = p.getParent.resolve(".queue.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readManifest(outDir: String): Option[QueueManifest] = {
+    val p = manifestPath(outDir)
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def field(k: String): Option[String] =
+      s"""\"$k\":\\s*("?)([^,}\"]*)\\1""".r.findFirstMatchIn(s).map(_.group(2))
+    for {
+      n <- field("n_entries"); d <- field("n_delivered")
+      x <- field("n_dead"); r <- field("run_id")
+    } yield QueueManifest(n.toLong, d.toLong, x.toLong, r)
+  }
+
+  /** Revoke the queue commit (crash-window testing / forced reprocess). */
+  def revoke(outDir: String): Unit =
+    Files.deleteIfExists(manifestPath(outDir))
+
+  private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(Files.deleteIfExists(_))
+      Using.resource(Files.walk(p))(
+        _.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_)))
 
   /** Enqueue `routed`'s non-complete rows, drive `Passes` redelivery passes,
     * and commit the final queue table to `outDir/queue`. Idempotent: a
@@ -63,17 +106,18 @@ object ReviewSink {
     */
   def run(spark: SparkSession, routed: DataFrame, outDir: String,
       runId: String): SinkStats = {
-    val store = new LocalManifestStore(outDir)
     val root = Paths.get(outDir)
     Files.createDirectories(root)
     // sweep temp debris from a crashed run
-    Files.list(root).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".tmp-queue"))
-      .foreach(deleteRecursively)
+    Using.resource(Files.list(root))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".tmp-queue"))
+        .toSeq.foreach(deleteRecursively))
     val queueDir = root.resolve("queue")
-    if (store.committedBuckets().contains(0)) {
-      val m = store.readManifest(0).get
-      return SinkStats(m.nDocs, m.nSpans, m.nErrors, committedBefore = true)
+    readManifest(outDir) match {
+      case Some(m) =>
+        return SinkStats(m.nEntries, m.nDelivered, m.nDead, committedBefore = true)
+      case None => ()
     }
     // uncommitted queue dir = crash between rename and manifest: rewrite
     deleteRecursively(queueDir)
@@ -108,8 +152,7 @@ object ReviewSink {
     val n = counts.values.sum
     val stats = SinkStats(n, counts.getOrElse("delivered", 0L),
       counts.getOrElse("dead", 0L), committedBefore = false)
-    // manifest fields: nDocs = entries, nSpans = delivered, nErrors = dead
-    store.commit(BucketManifest(0, stats.nEntries, stats.nDelivered,
+    commitManifest(outDir, QueueManifest(stats.nEntries, stats.nDelivered,
       stats.nDead, runId))
     stats
   }

@@ -99,21 +99,25 @@ object EmbeddingsQ {
     * (~37/256 of the corpus), then exact cosine re-ranks candidates.
     */
   def e03AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = load(spark, dir, "embeddings").withColumn("bucket", lshSigUdf(col("embedding")))
+    // norms computed ONCE per side before the join (as e02/e04/e06 do) —
+    // inside the scored select they'd be re-evaluated per candidate pair
+    val emb = load(spark, dir, "embeddings")
+      .withColumn("bucket", lshSigUdf(col("embedding")))
+      .withColumn("e_norm", norm(spark, col("embedding")))
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
-    val probes = queries.select(col("query_id"), col("q_emb"), col("q_bucket"),
-      explode(array(probeMasks.map(lit(_)): _*)).as("mask"))
+        col("bucket").as("q_bucket"), col("e_norm").as("q_norm"))
+    val probes = queries.select(col("query_id"), col("q_emb"), col("q_norm"),
+      col("q_bucket"), explode(array(probeMasks.map(lit(_)): _*)).as("mask"))
       .withColumn("probe_bucket", col("q_bucket").bitwiseXOR(col("mask")))
-      .select(col("query_id"), col("q_emb"), col("probe_bucket"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("probe_bucket"))
     // each candidate matches exactly ONE probe mask (XOR is injective), so
     // no distinct is needed — a dedup here would only add a shuffle
     val cands = emb.join(broadcast(probes),
       col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
     val scored = cands.select(col("query_id"), col("vec_id").as("neighbor_id"),
       (dot(spark, col("q_emb"), col("embedding")) /
-        (norm(spark, col("q_emb")) * norm(spark, col("embedding")))).as("cos_sim"))
+        (col("q_norm") * col("e_norm"))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)

@@ -79,13 +79,13 @@ object ExtractionQ {
       .orderBy("doc_id", "span_offset", "row_idx")
   }
 
-  /** Media (figure) spans with stubbed decode quality metrics + the
-    * modality-dispatched enhancement plan (image_enhancer.py:195-298 mode
-    * selection as a when/otherwise column). The plan strings are executable:
-    * graft.functions.ImageKernels.enhance runs the real Otsu / opening /
-    * despeckle kernels (deskew/denoise/clahe remain decode-gated stubs) —
-    * the quality METRICS here stay ref-arithmetic so the oracle re-derives
-    * them.
+  /** Media (figure) spans with metadata-derived (fallback) quality metrics
+    * + the modality-dispatched enhancement plan (image_enhancer.py:195-298
+    * mode selection as a when/otherwise column). The plan strings are
+    * executable: graft.functions.ImageKernels.enhance dispatches ALL SEVEN
+    * real kernels (Otsu, opening, despeckle, orientation, deskew, NLM
+    * denoise, CLAHE). The quality metrics HERE stay ref-arithmetic (the
+    * fast modality fallback); decoded-PIXEL quality is the x29 surface.
     */
   def x05MediaQuality(spark: SparkSession, dir: String): DataFrame = {
     val qualityUdf = udf { (ref: String) =>
@@ -329,7 +329,12 @@ object ExtractionQ {
     */
   def x26ReviewQueue(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.ReviewSink
-    val out = java.nio.file.Files.createTempDirectory("graft_review").toString
+    // The dir must outlive this call (the returned DataFrame reads it
+    // lazily), so cleanup is deferred to JVM exit rather than leaked.
+    val outPath = java.nio.file.Files.createTempDirectory("graft_review")
+    sys.addShutdownHook(
+      org.apache.commons.io.FileUtils.deleteQuietly(outPath.toFile))
+    val out = outPath.toString
     ReviewSink.run(spark, x13Routing(spark, dir), out, "x26")
     spark.read.parquet(s"$out/queue")
       .select(col("doc_id"), col("queue"), col("confidence"), col("status"),
@@ -892,11 +897,48 @@ object ExtractionQ {
       }
       .toDF("doc_id", "primary_norm", "masked_fields", "is_complete",
         "completeness", "n_empty")
-    import org.apache.spark.sql.expressions.Window
-    perDoc
-      .withColumn("dup_group_size",
-        count(lit(1)).over(Window.partitionBy(col("primary_norm"))))
+    // Duplicate-group size as a two-phase aggregate: groupBy-count (partial
+    // map-side combine absorbs hot names) joined back on the key, with AQE
+    // handling any residual join skew. NOT a count().over(Window.partitionBy)
+    // — an unbounded window on a skewed natural key (patient names) funnels
+    // every "JOHN SMITH" row through one partition at 100 TB.
+    val groupSizes = perDoc.groupBy(col("primary_norm"))
+      .agg(count(lit(1)).as("dup_group_size"))
+    perDoc.join(groupSizes, Seq("primary_norm"))
+      .select(col("doc_id"), col("primary_norm"), col("masked_fields"),
+        col("is_complete"), col("completeness"), col("n_empty"),
+        col("dup_group_size"))
       .orderBy("doc_id")
+  }
+
+  /** Decoded-pixel media quality (image_enhancer.py:855-928 analyze_quality):
+    * each figure span's blob — real PNG bytes for the ref's synthetic page
+    * (DocGen.mediaPngBytes) — is decoded through `javax.imageio` and scored
+    * on the DECODED pixels: mean brightness, std-dev contrast, Laplacian
+    * variance (blur), the 0-100 composite score and the issue flags. Pure
+    * map over figure spans (per-partition codec reuse, no shuffle before
+    * the final sort); the PNG round-trip is lossless, so the DuckDB oracle
+    * re-derives every metric from the synthetic-page arithmetic bit-exactly
+    * (OracleX.x29).
+    */
+  def x29DecodedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    extracted(spark, dir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === SpanKind.Figure)
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (docId, ref) =>
+        val (s, i) = SpanTokenizer.refNums(ref)
+        val q = ImageKernels.qualityOf(
+          ImageKernels.decodePng(DocGen.mediaPngBytes(s, i)))
+        (docId, ref, q.brightness, q.contrast, q.lapVar, q.qualityScore,
+          q.lowContrast, q.isDark, q.isWashedOut)
+      })
+      .toDF("doc_id", "media_ref", "brightness", "contrast", "lap_var",
+        "quality_score", "low_contrast", "is_dark", "is_washed_out")
+      .orderBy("doc_id", "media_ref")
   }
 
   /** Per-span provenance surface (provenance.py:66-171): every extracted

@@ -73,6 +73,17 @@ object DocGen {
   def mediaRef(id: Long, i: Int): String =
     s"s3://graft-corpus/media/${mediaShard(id, i)}/${docIdStr(id)}_$i.png"
 
+  /** The media blob behind a ref, as REAL PNG bytes: the deterministic
+    * synthetic page for the ref's (shard, index) encoded through the JDK's
+    * own PNG codec. This is the storage-fetch stand-in (north rule: no
+    * external data) — the decode side (ImageKernels.decodePng, x29) runs a
+    * real `javax.imageio` round-trip on it, and because PNG is lossless the
+    * decoded pixels equal the page arithmetic the SQL oracle re-derives.
+    */
+  def mediaPngBytes(shard: Long, index: Long): Array[Byte] =
+    graft.functions.ImageKernels.encodePng(
+      graft.functions.ImageKernels.syntheticPage(shard, index))
+
   def ediCtl(id: Long): Long = (id * 1009 + 7) % 1000000000L
 
   def ediPayload(id: Long): String =

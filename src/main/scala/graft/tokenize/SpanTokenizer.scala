@@ -114,7 +114,7 @@ object SpanTokenizer {
     * the DuckDB oracle can re-derive every stubbed metric from the ref
     * string (graft.OracleX mirrors the formulas).
     */
-  private def refNums(mediaRef: String): (Long, Long) = {
+  private[graft] def refNums(mediaRef: String): (Long, Long) = {
     if (mediaRef == null) return (0L, 0L)
     def numAfter(from: Int, until: Int): Long = {
       var v = 0L; var any = false; var i = from
@@ -133,14 +133,18 @@ object SpanTokenizer {
     (shard, idx)
   }
 
-  /** STUB — media decode. Real image/audio decode libraries are not in this
-    * container; production slots a JVM decoder here (SURVEY.md §2.4 quality
-    * metrics, image_enhancer.py:855-928). The fake derives deterministic
-    * per-media quality metrics from the media_ref's (shard, index) so
-    * modality logic, Spark plumbing AND the SQL oracle all see the same
-    * values. The enhancement KERNELS behind the plans are real —
-    * graft.functions.ImageKernels (Otsu, opening, despeckle, orientation)
-    * runs on deterministic synthetic pixel grids; only decode is faked.
+  /** FALLBACK — metadata-derived quality metrics (no pixel decode). This is
+    * the fast path the in-kernel modality heuristic uses: deterministic
+    * per-media metrics from the media_ref's (shard, index) so modality
+    * logic, Spark plumbing AND the SQL oracle all see the same values
+    * without paying a codec pass per media span inside the tokenizer.
+    * REAL pixel-decoded quality lives in ImageKernels.decodePng +
+    * ImageKernels.qualityOf (the x29 surface, image_enhancer.py:855-928):
+    * PNG bytes through `javax.imageio`, then mean/std/Laplacian-variance on
+    * the decoded pixels. All seven enhancement kernels
+    * (graft.functions.ImageKernels: Otsu, opening, despeckle, orientation,
+    * deskew, NLM denoise, CLAHE) are real algorithms and run on decoded
+    * pixels in specs and on synthetic grids in the plan queries.
     */
   def fakeDecodeQuality(mediaRef: String): QualityMetrics = {
     val (s, i) = refNums(mediaRef)

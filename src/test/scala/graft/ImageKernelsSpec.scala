@@ -123,6 +123,45 @@ class ImageKernelsSpec extends AnyFunSuite {
     assert(flat.px.forall(_ == 100))
   }
 
+  test("PNG encode/decode round-trips pixels exactly through javax.imageio") {
+    val page = ImageKernels.syntheticPage(17L, 3L)
+    val decoded = ImageKernels.decodePng(ImageKernels.encodePng(page))
+    assert(decoded.width == page.width && decoded.height == page.height)
+    assert(decoded.px.sameElements(page.px), "PNG round-trip changed pixels")
+  }
+
+  test("decoded-pixel quality matches a hand-computed grid and cv2 contract") {
+    // 3x3 constant image: zero contrast, zero Laplacian variance
+    val flat = Gray(3, 3, Array.fill(9)(150))
+    val qf = ImageKernels.qualityOf(flat)
+    assert(qf.brightness == 150.0 && qf.contrast == 0.0 && qf.lapVar == 0.0)
+    assert(qf.lowContrast && !qf.isDark)
+    // 2x2 checkerboard {0,255}: mean 127.5, std 127.5; reflect-101 makes
+    // every 3x3 neighborhood see the opposite value 4x -> lap = +-4*255,
+    // mean 0, variance (4*255)^2
+    val cb = Gray(2, 2, Array(0, 255, 255, 0))
+    val qc = ImageKernels.qualityOf(cb)
+    assert(qc.brightness == 127.5 && qc.contrast == 127.5)
+    assert(qc.lapVar == math.pow(4 * 255, 2))
+    // the synthetic page is sharp, bright and high-contrast
+    val qp = ImageKernels.qualityOf(ImageKernels.syntheticPage(5L, 9L))
+    assert(qp.lapVar > 100.0 && !qp.lowContrast && !qp.isDark)
+    assert(qp.qualityScore > 50.0 && qp.qualityScore <= 100.0)
+  }
+
+  test("enhance runs the full default plan on real decoded PNG pixels") {
+    // decode -> enhance must behave identically to enhance on the source
+    // grid (decode is lossless), pinning the whole x29-side pipeline
+    val page = ImageKernels.syntheticPage(41L, 2L, 32, 32)
+    val decoded = ImageKernels.decodePng(ImageKernels.encodePng(page))
+    val direct = ImageKernels.enhance(page, "deskew+otsu+open+despeckle")
+    val viaPng = ImageKernels.enhance(decoded, "deskew+otsu+open+despeckle")
+    assert(viaPng.px.sameElements(direct.px))
+    // and the decoded default-path CLAHE output stays a valid gray image
+    val clahe = ImageKernels.enhance(decoded, "clahe")
+    assert(clahe.px.forall(v => v >= 0 && v <= 255))
+  }
+
   test("enhance executes the x05 fax plan deterministically") {
     val page = ImageKernels.syntheticPage(7, 2)
     val out = ImageKernels.enhance(page, "deskew+otsu+open+despeckle")

@@ -94,6 +94,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("x28 dup-group sizing is a two-phase aggregate, not an unbounded window") {
+    val plan = executed(graft.queries.ExtractionQ.x28Consolidated(spark, dir))
+    // an unbounded count().over(partitionBy(primary_norm)) would appear as a
+    // WindowExec — the skewed natural key (patient names) must instead go
+    // through partial-aggregate + join-back
+    assert(!allNodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"unbounded window in x28 plan:\n$plan")
+    assert(allNodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      "no hash aggregate for the group sizes")
+  }
+
   test("d01 exact dedup shuffles only the hash, not the text") {
     val plan = executed(DocumentsQ.d01ExactDups(spark, dir))
     val shuffles = allNodes(plan).collect { case s: ShuffleExchangeLike => s }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.pipeline.{LocalManifestStore, ReviewSink}
+import graft.pipeline.ReviewSink
 import graft.queries.ExtractionQ
 
 /** Review-sink DLQ semantics + exactly-once commit (reference
@@ -69,7 +69,7 @@ class ReviewSinkSpec extends AnyFunSuite {
 
     // crash window: queue dir present but manifest missing -> next run
     // rewrites the table (torn dir swept), exactly-once on the read side
-    new LocalManifestStore(out).revoke(0)
+    ReviewSink.revoke(out)
     val third = ReviewSink.run(spark, routed, out, "r3")
     assert(!third.committedBefore && third.nEntries == first.nEntries)
     assert(spark.read.parquet(s"$out/queue").count() == first.nEntries)
