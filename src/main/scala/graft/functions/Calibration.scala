@@ -127,4 +127,33 @@ object Calibration {
     for (k <- 0 to 20; j <- 0 to 1)
       yield (k / 20.0, if (2 * k + j >= thr) 1.0 else 0.0)
   }
+
+  /** Planted PLATT sample with an ANALYTIC maximum-likelihood solution: the
+    * scores take exactly two values (0.2 / 0.8) with mixed labels at each,
+    * so the 1-feature logistic MLE is the saturated model — the fitted
+    * probability at each score equals that score's empirical label mean,
+    * giving closed-form coefficients
+    *   a* = (logit(ph) - logit(pl)) / (xh - xl),  b* = logit(pl) - a*·xl.
+    * The label mixes are keyed per (profile, tenant) — pl = (1+profile)/8,
+    * ph = (5+tenant)/8 — so every partition's fit is distinct. The Newton
+    * fit (fitPlatt) must converge to this analytic optimum; CalibrationSpec
+    * machine-checks both the closed-form match and the log-loss score
+    * equations at ~1e-12 (not golden values). Mixed labels also keep the
+    * sample non-separable, so the MLE exists (the monotone isotonic sample
+    * above is separable — its logistic MLE diverges, which is why Platt
+    * gets its own planted design). Ref: calibration.py:200-260.
+    */
+  def plantedPlattSample(profile: Long, tenant: Long): Seq[(Double, Double)] = {
+    val onesLo = (1 + profile).toInt // of 8 points at x = 0.2
+    val onesHi = (5 + tenant).toInt  // of 8 points at x = 0.8
+    (0 until 8).map(j => (0.2, if (j < onesLo) 1.0 else 0.0)) ++
+      (0 until 8).map(j => (0.8, if (j < onesHi) 1.0 else 0.0))
+  }
+
+  /** The analytic MLE for a two-score sample (see plantedPlattSample). */
+  def analyticPlatt(xl: Double, pl: Double, xh: Double, ph: Double): (Double, Double) = {
+    def logit(p: Double): Double = math.log(p / (1.0 - p))
+    val a = (logit(ph) - logit(pl)) / (xh - xl)
+    (a, logit(pl) - a * xl)
+  }
 }

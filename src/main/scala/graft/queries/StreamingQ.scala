@@ -117,19 +117,55 @@ object StreamingQ {
       .orderBy("hour", "event_type")
   }
 
-  /** Stateful stream: per-user running event count + last event type via
-    * groupByKey over the replayed stream — demonstrated with
-    * mapGroupsWithState in StreamingSpec; batch surface here mirrors the
-    * same state transition deterministically for the driver harness.
+  /** Stateful stream: per-user running event count + last event type,
+    * computed by the ACTUAL streaming execution path — groupByKey +
+    * mapGroupsWithState over the replayed stream (update mode, memory sink,
+    * AvailableNow). State per user is (count, latest (ts, event_id), its
+    * event_type); each trigger folds its batch into the state and emits the
+    * updated row. The final read takes each user's highest-count update
+    * (counts are strictly monotone per key), so the surface is correct for
+    * any trigger slicing; multi-trigger incremental state is additionally
+    * pinned by StreamingSpec. Batch twin of the state transition: the q16
+    * session window's ordering rule.
     */
   def s02UserState(spark: SparkSession, dir: String): DataFrame = {
-    val ev = load(spark, dir, "events")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    ev.withColumn("event_seq", row_number().over(w).cast("long"))
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val schema = load(spark, dir, "events").schema
+    val name = s"graft_stream_st_${counter.incrementAndGet()}"
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val updated = events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, String), (Long, Long, String)](
+        GroupStateTimeout.NoTimeout) { case (uid, it, state) =>
+        var (n, bestTs, bestId, bestType) =
+          state.getOption.getOrElse((0L, Long.MinValue, Long.MinValue, ""))
+        it.foreach { case (_, tsu, eid, et) =>
+          n += 1
+          if (tsu > bestTs || (tsu == bestTs && eid > bestId)) {
+            bestTs = tsu; bestId = eid; bestType = et
+          }
+        }
+        state.update((n, bestTs, bestId, bestType))
+        (uid, n, bestType)
+      }
+    val q = updated.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).toDF("user_id", "n_events", "last_event_type")
       .groupBy(col("user_id"))
-      .agg(max(col("event_seq")).as("n_events"),
-        max_by(col("event_type"), col("event_seq")).as("last_event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("last_event_type"), col("n_events")).as("last_event_type"))
       .orderBy("user_id")
   }
 }

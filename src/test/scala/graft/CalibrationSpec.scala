@@ -86,6 +86,33 @@ class CalibrationSpec extends AnyFunSuite {
     }
   }
 
+  test("Platt Newton fit reaches the analytic MLE (machine-checked, not golden)") {
+    // The two-score planted sample's logistic MLE is closed-form (the
+    // saturated model): fitted probability at each score = empirical label
+    // mean. Checks, per (profile, tenant):
+    //  1. the score equations: sum(p_i - y_i) ~ 0 and sum((p_i - y_i)·x_i)
+    //     ~ 0 at the fit (the MLE first-order conditions),
+    //  2. the fixed point: applyPlatt at 0.2 / 0.8 equals the planted
+    //     frequencies, and (a, b) equal the closed-form logit expressions.
+    for (p <- 0L to 2L; t <- 0L to 1L) {
+      val pts = Calibration.plantedPlattSample(p, t)
+      val ab = Calibration.fitPlatt(pts)
+      val (g0, g1) = pts.foldLeft((0.0, 0.0)) { case ((s0, s1), (x, y)) =>
+        val d = Calibration.applyPlatt(ab, x) - y
+        (s0 + d, s1 + d * x)
+      }
+      assert(math.abs(g0) < 1e-12 && math.abs(g1) < 1e-12,
+        s"($p,$t) score equations violated: g=($g0,$g1)")
+      val pl = (1.0 + p) / 8.0
+      val ph = (5.0 + t) / 8.0
+      assert(math.abs(Calibration.applyPlatt(ab, 0.2) - pl) < 1e-12, s"($p,$t) low")
+      assert(math.abs(Calibration.applyPlatt(ab, 0.8) - ph) < 1e-12, s"($p,$t) high")
+      val (aStar, bStar) = Calibration.analyticPlatt(0.2, pl, 0.8, ph)
+      assert(math.abs(ab._1 - aStar) < 1e-9 && math.abs(ab._2 - bStar) < 1e-9,
+        s"($p,$t) fit $ab != analytic ($aStar,$bStar)")
+    }
+  }
+
   test("x11 output is byte-identical across shuffle parallelism (deterministic fit)") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
