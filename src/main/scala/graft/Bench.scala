@@ -11,7 +11,9 @@ import graft.tokenize.DocGen
   *             "query_passes":2,"per_query":"min"},
   *    "scaling":{"n_docs":...,"docs_per_sec_n":...,"docs_per_sec_4n":...,
   *               "speedup":...,"efficiency":...,"attempts":...,
-  *               "skew":{...same fields...},"n_docs_4x":{...same fields...}}}
+  *               "skew":{...same fields...,
+  *                       "kernel":{...},"write":{...}},  // stage attribution
+  *               "n_docs_4x":{...same fields...}}}
   *
   * The scaling phase is the BASELINE.json two-cluster-size criterion
   * evidenced in-sandbox: the identical end-to-end extraction job
@@ -111,7 +113,7 @@ object Bench {
           .mapPartitions(graft.tokenize.SpanTokenizer.extractPartition(_))
           .agg(sum("n_spans")).collect()
         (System.nanoTime() - t0) / 1e9
-      case "write" =>
+      case "write" | "skew_write" =>
         val t0 = System.nanoTime()
         docs.repartition(pmod(xxhash64(col("doc_id")), lit(2048)))
           .mapPartitions(graft.tokenize.SpanTokenizer.extractPartition(_))
@@ -265,7 +267,10 @@ object Bench {
               attempts += 1
             }
           }
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusBase))
+          // the skewed corpus is shared by the skew/kernel/write trio —
+          // keep it; only the one-shot corpora are dropped eagerly
+          if (!m.startsWith("skew"))
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusBase))
           val (bc, dpsN, dps4N, eff) = best
           f"""{"n_docs":$n,"cores_n":$bc,"cores_4n":${bc * 4},""" +
             f""""docs_per_sec_n":$dpsN%.1f,"docs_per_sec_4n":$dps4N%.1f,""" +
@@ -274,8 +279,14 @@ object Bench {
 
         val primary = measure(nDocs, mode, runs = 3, maxAttempts = 3,
           fallbackHalf = true)
-        if (skipExtras) primary
-        else {
+        if (skipExtras) {
+          // diagnostic single-mode invocations clean their corpus here
+          // (the full path keeps the shared skew corpus for the trio below)
+          val kind = if (mode.startsWith("skew")) "skewed" else "uniform"
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(tmpBase, s"corpus_${kind}_$nDocs"))
+          primary
+        } else {
           // standing scale evidence beyond the headline pair: the same
           // N-vs-4N measurement on a skewed corpus (mega-docs cross the
           // isolation threshold, so the heavy path is live) and at 4x the
@@ -284,9 +295,26 @@ object Bench {
           // still surviving one noisy-neighbor window each.
           val skew = measure(nDocs, "skew", runs = 2, maxAttempts = 3,
             fallbackHalf = false)
+          // Stage attribution for the skew pair, IN the artifact: the
+          // kernel-only and write-stage pairs on the SAME skewed corpus.
+          // The tokenizer kernel scales ~1.0 on skewed data (round-3
+          // finding); any sub-0.8 skew efficiency is the write/commit
+          // stage saturating this box's single shared tmpfs at 16 cores
+          // (mega output inflation ~2.4x) — a one-box artifact a real
+          // per-executor-disk cluster does not share. Emitting both pairs
+          // makes the artifact self-attributing instead of relying on
+          // prose in BASELINE.md.
+          val skewKernel = measure(nDocs, "skew_kernel", runs = 2,
+            maxAttempts = 1, fallbackHalf = false)
+          val skewWrite = measure(nDocs, "skew_write", runs = 2,
+            maxAttempts = 1, fallbackHalf = false)
+          val skewFull = skew.dropRight(1) +
+            s""","kernel":$skewKernel,"write":$skewWrite}"""
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(tmpBase, s"corpus_skewed_$nDocs"))
           val big = measure(nDocs * 4, "full", runs = 2, maxAttempts = 2,
             fallbackHalf = false)
-          primary.dropRight(1) + s""","skew":$skew,"n_docs_4x":$big}"""
+          primary.dropRight(1) + s""","skew":$skewFull,"n_docs_4x":$big}"""
         }
       }
 
