@@ -600,6 +600,9 @@ object ImageKernels {
     }
     val mean = sum.toDouble / n
     val contrast = math.sqrt(sumSq.toDouble / n - mean * mean)
+    // reflect-101 needs >= 2 pixels per axis (index -1 mirrors to 1); a
+    // degenerate 1-wide/1-tall image has no Laplacian response
+    if (w < 2 || h < 2) return PixelQuality(mean, contrast, 0.0)
     // BORDER_REFLECT_101: index -1 mirrors to 1, index n mirrors to n-2
     var lSum = 0L; var lSq = 0L
     var y = 0

@@ -23,6 +23,29 @@ final case class BucketManifest(
     nErrors: Long,
     runId: String)
 
+/** Shared manifest-file machinery (atomic temp-write + rename commit, the
+  * tolerant flat-JSON field parser, recursive delete) — one implementation
+  * for every typed manifest record (BucketManifest here, ReviewSink's
+  * QueueManifest), so protocol hardening lands in one place.
+  */
+private[pipeline] object Manifests {
+  def atomicWriteJson(path: Path, json: String): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.getParent.resolve("." + path.getFileName.toString + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readField(json: String, k: String): Option[String] =
+    s"""\"$k\":\\s*("?)([^,}\"]*)\\1""".r.findFirstMatchIn(json).map(_.group(2))
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      scala.util.Using.resource(Files.walk(p))(
+        _.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_)))
+}
+
 trait SnapshotStore {
   def committedBuckets(): Set[Int]
   def commit(m: BucketManifest): Unit
@@ -48,16 +71,10 @@ final class LocalManifestStore(outDir: String) extends SnapshotStore {
         .toSet)
   }
 
-  override def commit(m: BucketManifest): Unit = {
-    Files.createDirectories(dir)
-    val json =
+  override def commit(m: BucketManifest): Unit =
+    Manifests.atomicWriteJson(dir.resolve(s"bucket-${m.bucket}.json"),
       s"""{"bucket":${m.bucket},"n_docs":${m.nDocs},"n_spans":${m.nSpans},""" +
-        s""""n_errors":${m.nErrors},"run_id":"${m.runId}"}"""
-    val tmp = dir.resolve(s".bucket-${m.bucket}.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(s"bucket-${m.bucket}.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+        s""""n_errors":${m.nErrors},"run_id":"${m.runId}"}""")
 
   override def revoke(bucket: Int): Unit =
     Files.deleteIfExists(dir.resolve(s"bucket-$bucket.json"))
@@ -66,8 +83,7 @@ final class LocalManifestStore(outDir: String) extends SnapshotStore {
     val p = dir.resolve(s"bucket-$bucket.json")
     if (!Files.exists(p)) return None
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    def field(k: String): Option[String] =
-      s"""\"$k\":\\s*("?)([^,}\"]*)\\1""".r.findFirstMatchIn(s).map(_.group(2))
+    def field(k: String): Option[String] = Manifests.readField(s, k)
     for {
       b <- field("bucket"); d <- field("n_docs"); sp <- field("n_spans")
       e <- field("n_errors"); r <- field("run_id")

@@ -104,10 +104,7 @@ object ExtractJob {
     (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      scala.util.Using.resource(Files.walk(p))(
-        _.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_)))
+  private def deleteRecursively(p: Path): Unit = Manifests.deleteRecursively(p)
 
   /** Sweep stale state from a previous crashed run: temp dirs, and any group
     * dir whose buckets are not ALL manifest-committed (a crash between the

@@ -67,24 +67,16 @@ object ReviewSink {
   private def manifestPath(outDir: String): Path =
     Paths.get(outDir, "_manifests", "queue.json")
 
-  private def commitManifest(outDir: String, m: QueueManifest): Unit = {
-    val p = manifestPath(outDir)
-    Files.createDirectories(p.getParent)
-    val json =
+  private def commitManifest(outDir: String, m: QueueManifest): Unit =
+    Manifests.atomicWriteJson(manifestPath(outDir),
       s"""{"n_entries":${m.nEntries},"n_delivered":${m.nDelivered},""" +
-        s""""n_dead":${m.nDead},"run_id":"${m.runId}"}"""
-    val tmp = p.getParent.resolve(".queue.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+        s""""n_dead":${m.nDead},"run_id":"${m.runId}"}""")
 
   def readManifest(outDir: String): Option[QueueManifest] = {
     val p = manifestPath(outDir)
     if (!Files.exists(p)) return None
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    def field(k: String): Option[String] =
-      s"""\"$k\":\\s*("?)([^,}\"]*)\\1""".r.findFirstMatchIn(s).map(_.group(2))
+    def field(k: String): Option[String] = Manifests.readField(s, k)
     for {
       n <- field("n_entries"); d <- field("n_delivered")
       x <- field("n_dead"); r <- field("run_id")
@@ -95,10 +87,7 @@ object ReviewSink {
   def revoke(outDir: String): Unit =
     Files.deleteIfExists(manifestPath(outDir))
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Using.resource(Files.walk(p))(
-        _.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_)))
+  private def deleteRecursively(p: Path): Unit = Manifests.deleteRecursively(p)
 
   /** Enqueue `routed`'s non-complete rows, drive `Passes` redelivery passes,
     * and commit the final queue table to `outDir/queue`. Idempotent: a

@@ -327,13 +327,23 @@ object ExtractionQ {
     * committed queue table. The sink writes to a fresh temp dir per
     * invocation; resume/idempotence are pinned by ReviewSinkSpec.
     */
+  /** Temp dirs cleaned at JVM exit by ONE shared hook (a hook per x26 call
+    * would accumulate threads in a long-lived driver).
+    */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val tempDirHook: Unit = {
+    sys.addShutdownHook(
+      tempDirs.forEach(d => org.apache.commons.io.FileUtils.deleteQuietly(d)))
+    ()
+  }
+
   def x26ReviewQueue(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.ReviewSink
     // The dir must outlive this call (the returned DataFrame reads it
     // lazily), so cleanup is deferred to JVM exit rather than leaked.
     val outPath = java.nio.file.Files.createTempDirectory("graft_review")
-    sys.addShutdownHook(
-      org.apache.commons.io.FileUtils.deleteQuietly(outPath.toFile))
+    tempDirHook
+    tempDirs.add(outPath.toFile)
     val out = outPath.toString
     ReviewSink.run(spark, x13Routing(spark, dir), out, "x26")
     spark.read.parquet(s"$out/queue")
@@ -578,10 +588,20 @@ object ExtractionQ {
     * sequential identifier every 37th, sequential cross-field triple every
     * 61st (all id arithmetic; OracleX mirrors).
     */
+  private[queries] def patientNameOf(id: Long): String =
+    if (id % 53 == 0) "john doe"
+    else if (id % 47 == 0) "dup value"
+    else "alice " + "pqrstuv".charAt((id % 7).toInt)
+
+  /** Normalized primary identifier (x28 dedup key). Object-level, NOT a
+    * local def: a local def lifted into a task lambda captures the
+    * enclosing module instance and fails task serialization.
+    */
+  private[queries] def primaryNorm(id: Long): String =
+    graft.functions.Strings.splitWs(patientNameOf(id).toLowerCase).mkString(" ")
+
   private[queries] def recordFields(id: Long): Map[String, String] = Map(
-    "patient_name" -> (if (id % 53 == 0) "john doe"
-      else if (id % 47 == 0) "dup value"
-      else "alice " + "pqrstuv".charAt((id % 7).toInt)),
+    "patient_name" -> patientNameOf(id),
     "provider_name" -> (if (id % 47 == 0) "dup value"
       else "bob " + "vwxyz".charAt((id % 5).toInt)),
     "notes" -> (if (id % 47 == 0) "dup value"
@@ -870,17 +890,19 @@ object ExtractionQ {
     * per-record PHI masking at the export chokepoint (field-name patterns +
     * the value-shape fallback), completeness validation against the schema,
     * and cross-page duplicate detection by normalized primary identifier
-    * (here: group size over the corpus via a window — the distributed form
-    * of detect_duplicates' driver-side grouping). All planted outcomes are
-    * id arithmetic, so the whole surface is DuckDB-oracled.
+    * (group size via a two-phase aggregate joined back on the key — the
+    * distributed form of detect_duplicates' driver-side grouping). All
+    * planted outcomes are id arithmetic, so the whole surface is
+    * DuckDB-oracled.
     */
   def x28Consolidated(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.PhiMask
     import graft.pipeline.Export
-    val perDoc = load(spark, dir, "documents")
+    val ids = load(spark, dir, "documents")
       .select(col("doc_id").cast("long"))
       .as[Long]
+    val perDoc = ids
       .mapPartitions { it =>
         it.map { id =>
           val rec = consolidatedRecord(id)
@@ -888,9 +910,7 @@ object ExtractionQ {
           val maskedFields = rec.keys.toSeq.sorted
             .filter(k => masked(k) != rec(k))
           val c = Export.validateCompleteness(rec, consolidatedSchema)
-          val primaryNorm = graft.functions.Strings
-            .splitWs(rec("patient_name").toLowerCase).mkString(" ")
-          (graft.tokenize.DocGen.docIdStr(id), primaryNorm,
+          (graft.tokenize.DocGen.docIdStr(id), primaryNorm(id),
             maskedFields.mkString(","), c.isComplete,
             c.completenessScore, c.emptyFields.length)
         }
@@ -901,8 +921,14 @@ object ExtractionQ {
     // map-side combine absorbs hot names) joined back on the key, with AQE
     // handling any residual join skew. NOT a count().over(Window.partitionBy)
     // — an unbounded window on a skewed natural key (patient names) funnels
-    // every "JOHN SMITH" row through one partition at 100 TB.
-    val groupSizes = perDoc.groupBy(col("primary_norm"))
+    // every "JOHN SMITH" row through one partition at 100 TB. The count side
+    // recomputes ONLY the normalized key per doc (not the PHI-mask +
+    // completeness work the perDoc side pays) — a cheap second pruned scan
+    // instead of persisting the wide frame.
+    val groupSizes = ids
+      .mapPartitions(_.map(primaryNorm))
+      .toDF("primary_norm")
+      .groupBy(col("primary_norm"))
       .agg(count(lit(1)).as("dup_group_size"))
     perDoc.join(groupSizes, Seq("primary_norm"))
       .select(col("doc_id"), col("primary_norm"), col("masked_fields"),
