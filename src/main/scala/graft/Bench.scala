@@ -156,6 +156,19 @@ object Bench {
       .getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
 
+  /** Co-tenant noise gate: this shared box sees periodic external load
+    * bursts (1-min loadavg spikes to ~12) that corrupt whichever scaling
+    * leg they overlap — a depressed N leg reads as implausible eff > 1, a
+    * depressed 4N leg as spuriously low eff. Waiting out a burst (bounded)
+    * before each measurement JVM is cheaper and more honest than burning
+    * retry attempts on readings known to be contaminated.
+    */
+  private def waitQuiet(maxWaitSec: Int = 150, bar: Double = 3.0): Unit = {
+    val t0 = System.nanoTime()
+    while (loadAvg() > bar && (System.nanoTime() - t0) / 1e9 < maxWaitSec)
+      Thread.sleep(15000)
+  }
+
   /** Launch one measurement in a fresh JVM; returns docs/sec. */
   private def spawnScaling(cores: Int, nDocs: Long, corpusBase: String,
       mode: String = "full", runs: Int = 3, shuffleMult: Int = 1): Double = {
@@ -247,30 +260,38 @@ object Bench {
           val mult = sys.env.get("SPARK_GRAFT_SHUFFLE_MULT").map(_.toInt)
             .getOrElse(if (m.startsWith("skew")) 4 else 1)
           def passAt(c: Int): (Int, Double, Double, Double) = {
+            waitQuiet()
             val dpsN = spawnScaling(c, n, corpusBase, m, runs, mult)
+            waitQuiet()
             val dps4N = spawnScaling(c * 4, n, corpusBase, m, runs, mult)
             (c, dpsN, dps4N, dps4N / dpsN / 4.0)
           }
+          // Reading quality: efficiency > 1.1 is physically implausible
+          // (the N leg was depressed by a noise burst) and must NOT be
+          // accepted as a pass — rank such readings below their mirror so
+          // a clean in-range pass always beats them.
+          def quality(eff: Double): Double = if (eff <= 1.1) eff else 2.2 - eff
           var best = passAt(coresN)
           var attempts = 1
-          // sub-0.8 noise retries apply to the pass/fail-graded pairs:
-          // full, skew, and the skew kernel attribution (which measures
-          // ~1.0 on a quiet box — a low reading is co-tenant noise, and a
-          // noise-depressed kernel pair would falsely indict the kernel).
-          // The WRITE pair gets no threshold retry: its low efficiency IS
-          // the attribution signal; retrying it toward a bar would erase
-          // the evidence it exists to provide.
+          // noise retries apply to the pass/fail-graded pairs: full, skew,
+          // and the skew kernel attribution (which measures ~1.0 on a quiet
+          // box — a low reading is co-tenant noise, and a noise-depressed
+          // kernel pair would falsely indict the kernel). The WRITE pair
+          // gets no threshold retry: its low efficiency IS the attribution
+          // signal; retrying it toward a bar would erase the evidence it
+          // exists to provide.
           if (m == "full" || m == "skew" || m == "skew_kernel") {
-            while (best._4 < bar && attempts < maxAttempts) {
+            def ok(p: (Int, Double, Double, Double)) = p._4 >= bar && p._4 <= 1.1
+            while (!ok(best) && attempts < maxAttempts) {
               val again = passAt(coresN)
-              if (again._4 > best._4) best = again
+              if (quality(again._4) > quality(best._4)) best = again
               attempts += 1
             }
             val fb = coresN / 2
-            while (fallbackHalf && best._4 < bar && fb >= 1 &&
+            while (fallbackHalf && !ok(best) && fb >= 1 &&
                 attempts < maxAttempts + 2) {
               val again = passAt(fb)
-              if (again._4 > best._4) best = again
+              if (quality(again._4) > quality(best._4)) best = again
               attempts += 1
             }
           }
@@ -336,6 +357,7 @@ object Bench {
     // production job lives in. Queries still >3x their previous-round
     // baseline (BENCH_BASELINE, default BENCH_LAST.json) get one final
     // attempt. Load averages land in the JSON as contention evidence.
+    waitQuiet() // query totals deserve the same burst gate as scaling legs
     val laPreQueries = loadAvg()
     val results =
       if (skipQueries) Seq.empty[(String, Double)]
