@@ -144,6 +144,12 @@ object Calibration {
     * gets its own planted design). Ref: calibration.py:200-260.
     */
   def plantedPlattSample(profile: Long, tenant: Long): Seq[(Double, Double)] = {
+    // the documented non-separability invariant holds only while both label
+    // mixes stay strictly inside (0, 1): profile 7 would make onesLo = 8
+    // (all-ones at x=0.2), the sample separable, the MLE divergent, and
+    // analyticPlatt's logit(1.0) infinite — enforce the domain at the API
+    require(profile >= 0 && profile <= 6 && tenant >= 0 && tenant <= 2,
+      s"plantedPlattSample domain: profile in [0,6], tenant in [0,2]; got ($profile, $tenant)")
     val onesLo = (1 + profile).toInt // of 8 points at x = 0.2
     val onesHi = (5 + tenant).toInt  // of 8 points at x = 0.8
     (0 until 8).map(j => (0.2, if (j < onesLo) 1.0 else 0.0)) ++

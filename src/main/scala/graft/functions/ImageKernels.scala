@@ -547,12 +547,18 @@ object ImageKernels {
     val px = new Array[Int](w * h)
     val gray = bi.getColorModel.getNumComponents == 1
     val raster = bi.getRaster
+    // Gray samples are scaled to 8-bit by their declared sample depth: a
+    // 16-bit grayscale PNG yields raster samples up to 65535, and passing
+    // those through unscaled would hand every downstream kernel (Otsu,
+    // CLAHE's LUT, qualityOf's flags) values outside the 0-255 range they
+    // assume. Color inputs already land in 0-255 via getRGB.
+    val grayShift = if (gray) math.max(raster.getSampleModel.getSampleSize(0) - 8, 0) else 0
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         px(y * w + x) =
-          if (gray) raster.getSample(x, y, 0)
+          if (gray) raster.getSample(x, y, 0) >> grayShift
           else {
             val rgb = bi.getRGB(x, y)
             val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
@@ -628,8 +634,9 @@ object ImageKernels {
     * (image_enhancer.py:195-298 mode selection) — every step is now a real
     * kernel: deskew (projection-profile angle + expanded-canvas rotate),
     * denoise / denoise_light (NLM at strength 10 / 5 — the reference
-    * lowers strength for handwritten), otsu, open, despeckle, clahe. Only
-    * the pixel DECODE upstream of these remains stubbed.
+    * lowers strength for handwritten), otsu, open, despeckle, clahe.
+    * Upstream pixel decode is real (decodePng via javax.imageio, x29); the
+    * x05 fast path uses the documented metadata-derived fallback instead.
     */
   def enhance(img: Gray, plan: String): Gray =
     plan.split('+').foldLeft(img) { (g, step) =>

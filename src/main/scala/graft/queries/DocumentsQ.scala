@@ -342,14 +342,32 @@ object DocumentsQ {
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
-  /** Top-k most frequent token per language — explode + two-level agg. */
+  /** Top-k most frequent token per language — explode + two-phase top-k.
+    *
+    * A single `row_number` window partitioned by `lang` (5 values) would
+    * rank each language's ENTIRE vocabulary in one task — the last
+    * all-of-a-group-through-one-task shape in the query set (round-4
+    * verdict). Instead: phase 1 ranks locally within (lang, token-hash
+    * split) — 5×32 independent window partitions — and keeps each split's
+    * top 5; phase 2 ranks only the ≤ 5×32 surviving candidates per
+    * language. Any global top-5 token has ≤ 4 tokens above it in its own
+    * split under the same total order (n desc, token asc), so it survives
+    * phase 1 — the rewrite is exact, and the oracle is unchanged.
+    */
   def d11TopTokens(spark: SparkSession, dir: String): DataFrame = {
     val toks = load(spark, dir, "documents")
       .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
       .filter(length(col("token")) >= 3)
     val counts = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val localW = Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("token")), lit(32)))
+      .orderBy(desc("n"), col("token"))
+    val candidates = counts
+      .withColumn("local_rank", row_number().over(localW))
+      .filter(col("local_rank") <= 5)
+      .drop("local_rank")
     val w = Window.partitionBy(col("lang")).orderBy(desc("n"), col("token"))
-    counts.withColumn("rank", row_number().over(w).cast("long"))
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .orderBy("lang", "rank")
   }

@@ -1013,4 +1013,199 @@ object ExtractionQ {
       .toDF("doc_id", "span_offset", "parts_sum", "total_cell", "sum_ok")
       .orderBy("doc_id", "span_offset")
   }
+
+  // ---- A/B testing + regression ladder (ab_testing.py / regression.py) ----
+
+  /** Candidate extraction strategy for the A/B surface: no claim-id errors,
+    * more name errors (every 11th), a hard provider break (every 43rd — a
+    * constant that can never be fuzzy-close to two corpus words), totals
+    * identical to baseline. Distinct from x25's candidate profile so the
+    * two surfaces plant different outcome mixes.
+    */
+  private def abCandPairs(id: Long, w: IndexedSeq[String])
+      : Seq[(String, String, String, String)] =
+    goldenPairs(id, w).map { case (field, level, g, x) =>
+      val x2 = field match {
+        case "claim_id" => g
+        case "patient_name" =>
+          if (id % 11 == 0) { if (w.length >= 6) w(5) else "other" } else g
+        case "provider" => if (id % 43 == 0) "zzz clinic" else x
+        case _ => x // total_charges: identical to baseline
+      }
+      (field, level, g, x2)
+    }
+
+  /** Degraded strategy: claim ids break every 7th doc (vs baseline's 29th);
+    * everything else is the baseline extraction.
+    */
+  private def abBrokenPairs(id: Long, w: IndexedSeq[String])
+      : Seq[(String, String, String, String)] =
+    goldenPairs(id, w).map { case (field, level, g, x) =>
+      if (field == "claim_id")
+        (field, level, g, if (id % 7 == 0) g.substring(4) else g)
+      else (field, level, g, x)
+    }
+
+  /** Cosmetic refactor: per-id match outcomes provably identical to the
+    * baseline (the only change is casing on the name's MATCHING branch —
+    * invisible at the NORMALIZED level), so every delta is exactly 0.0.
+    */
+  private def abCosmeticPairs(id: Long, w: IndexedSeq[String])
+      : Seq[(String, String, String, String)] =
+    goldenPairs(id, w).map { case (field, level, g, x) =>
+      if (field == "patient_name" && id % 23 != 0 && id % 13 != 0)
+        (field, level, g, x.toUpperCase)
+      else (field, level, g, x)
+    }
+
+  /** A/B testing surface (x30): four named tests, each running two
+    * deterministic extraction strategies over the same golden pairs,
+    * classified per `ab_testing.py:29-36` ABOutcome via the reference's
+    * decision rule (`ab_testing.py:164-171`): micro-F1 delta (B − A)
+    * > 0.02 → b_wins, < −0.02 → a_wins, else no_difference (inconclusive
+    * is reserved in the reference enum and never produced by its runner —
+    * mirrored here). Per-field regressions/improvements use the same
+    * ±0.02 bar as `compare_runs`. The planted strategy mix exercises all
+    * three outcomes plus non-empty regression AND improvement lists in the
+    * same test. Errors are counted symmetrically (each mismatch is FP+FN,
+    * the x25 convention), so micro-F1 = 2tp/(2tp+e+e).
+    */
+  def x30AbTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GoldenEval
+    import spark.implicits._
+    val rows = load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = evalWords(text)
+        val p0 = goldenPairs(id, w)
+        def hits(ps: Seq[(String, String, String, String)]) =
+          ps.map { case (f, l, g, x) =>
+            (f, GoldenEval.compareField(Some(g), Some(x), l).isMatch)
+          }
+        val tests = Seq(
+          ("baseline_vs_candidate", p0, abCandPairs(id, w)),
+          ("baseline_vs_broken", p0, abBrokenPairs(id, w)),
+          ("broken_vs_baseline", abBrokenPairs(id, w), p0),
+          ("cosmetic_refactor", p0, abCosmeticPairs(id, w)))
+        tests.flatMap { case (t, a, b) =>
+          hits(a).map { case (f, m) => (t, "a", f, m) } ++
+            hits(b).map { case (f, m) => (t, "b", f, m) }
+        }
+      }
+      .toDF("test_name", "side", "field", "is_match")
+    // two-phase: per-field counts (map-side combinable), then one small
+    // reduce per test — no per-doc state survives the first aggregate
+    val perField = rows
+      .groupBy(col("test_name"), col("field"))
+      .agg(
+        sum(when(col("side") === "a" && col("is_match"), 1L).otherwise(0L)).as("tpa"),
+        sum(when(col("side") === "a" && !col("is_match"), 1L).otherwise(0L)).as("ea"),
+        sum(when(col("side") === "b" && col("is_match"), 1L).otherwise(0L)).as("tpb"),
+        sum(when(col("side") === "b" && !col("is_match"), 1L).otherwise(0L)).as("eb"))
+      .withColumn("f1a",
+        col("tpa").cast("double") * 2 / (col("tpa") * 2 + col("ea") + col("ea")))
+      .withColumn("f1b",
+        col("tpb").cast("double") * 2 / (col("tpb") * 2 + col("eb") + col("eb")))
+      .withColumn("fdelta", col("f1b") - col("f1a"))
+    perField
+      .groupBy(col("test_name"))
+      .agg(
+        (sum("tpa").cast("double") * 2 /
+          (sum("tpa") * 2 + sum("ea") + sum("ea"))).as("f1_a"),
+        (sum("tpb").cast("double") * 2 /
+          (sum("tpb") * 2 + sum("eb") + sum("eb"))).as("f1_b"),
+        concat_ws(",",
+          array_sort(collect_list(when(col("fdelta") < -0.02, col("field")))))
+          .as("regressions"),
+        concat_ws(",",
+          array_sort(collect_list(when(col("fdelta") > 0.02, col("field")))))
+          .as("improvements"))
+      .withColumn("f1_delta", col("f1_b") - col("f1_a"))
+      .withColumn("outcome",
+        when(col("f1_delta") > 0.02, "b_wins")
+          .when(col("f1_delta") < -0.02, "a_wins")
+          .otherwise("no_difference"))
+      .select("test_name", "f1_a", "f1_b", "f1_delta", "outcome",
+        "regressions", "improvements")
+      .orderBy("test_name")
+  }
+
+  /** The persisted regression baseline (`regression.py:208-224`
+    * save_baseline/load_baseline): a committed classpath resource in the
+    * reference's stored-baseline JSON shape, parsed once per JVM.
+    */
+  private[queries] lazy val regressionBaseline: (Double, Seq[(String, Double)]) = {
+    val in = getClass.getResourceAsStream("/graft/regression_baseline.json")
+    require(in != null, "missing committed baseline resource")
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val micro = """"micro_f1"\s*:\s*([0-9.]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble).get
+    val fields = """"([a-z_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._1 != "micro_f1").toSeq
+    (micro, fields)
+  }
+
+  /** Regression-detection severity ladder (x31, `regression.py:24-29,
+    * 160-201`): current per-field F1 (the x30 candidate strategy's run)
+    * vs the COMMITTED baseline fixture, fields unioned with 0.0 defaults
+    * as the reference does. delta < −0.02 → regression with severity
+    * critical (|delta| ≥ 0.10) or warning (≥ 0.02); delta > 0.02 →
+    * improvement (severity info); else stable. Overall severity = the
+    * worst regression severity, overall delta = current micro-F1 −
+    * baseline micro-F1 — carried on every row (the report header of
+    * RegressionReport, flattened relationally). The baseline plants one
+    * of each class: a vanished field (critical), a warning-sized name
+    * drop, two improvements, one stable field.
+    */
+  def x31RegressionLadder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GoldenEval
+    import spark.implicits._
+    val (baseMicro, baseFields) = regressionBaseline
+    val current = load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        abCandPairs(id, evalWords(text)).map { case (f, l, g, x) =>
+          (f, GoldenEval.compareField(Some(g), Some(x), l).isMatch)
+        }
+      }
+      .toDF("field", "is_match")
+      .groupBy(col("field"))
+      .agg(
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("is_match"), 1L).otherwise(0L)).as("e"))
+    val baseline = baseFields.toDF("field", "baseline_f1")
+    val pf = current
+      .withColumn("current_f1",
+        col("tp").cast("double") * 2 / (col("tp") * 2 + col("e") + col("e")))
+      .join(broadcast(baseline), Seq("field"), "full_outer")
+      .withColumn("baseline_f1", coalesce(col("baseline_f1"), lit(0.0)))
+      .withColumn("current_f1", coalesce(col("current_f1"), lit(0.0)))
+      .withColumn("delta", col("current_f1") - col("baseline_f1"))
+      .withColumn("status",
+        when(col("delta") < -0.02, "regression")
+          .when(col("delta") > 0.02, "improvement")
+          .otherwise("stable"))
+      .withColumn("severity",
+        when(col("status") === "regression",
+          when(abs(col("delta")) >= 0.10, "critical").otherwise("warning"))
+          .otherwise("info"))
+    val overall = pf.agg(
+      max(when(col("status") === "regression", 1L).otherwise(0L)).as("any_reg"),
+      max(when(col("severity") === "critical", 1L).otherwise(0L)).as("any_crit"),
+      (sum("tp").cast("double") * 2 /
+        (sum("tp") * 2 + sum("e") + sum("e"))).as("cur_micro"))
+    pf.crossJoin(broadcast(overall))
+      .withColumn("has_regression", col("any_reg") === 1L)
+      .withColumn("overall_severity",
+        when(col("any_crit") === 1L, "critical")
+          .when(col("any_reg") === 1L, "warning")
+          .otherwise("info"))
+      .withColumn("overall_f1_delta", col("cur_micro") - lit(baseMicro))
+      .select("field", "baseline_f1", "current_f1", "delta", "status",
+        "severity", "has_regression", "overall_severity", "overall_f1_delta")
+      .orderBy("field")
+  }
 }

@@ -107,6 +107,20 @@ class PlanSpec extends AnyFunSuite {
       "no hash aggregate for the group sizes")
   }
 
+  test("d11 top-k is two-phase: no full-vocabulary single-task window") {
+    val plan = executed(DocumentsQ.d11TopTokens(spark, dir))
+    val windows = allNodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected local+global windows, got ${windows.size}")
+    // every window partitioned ONLY by lang (5 values → one task per
+    // language) must rank a pre-thinned candidate set, i.e. sit above a
+    // local_rank filter — equivalently, at least one window must partition
+    // by more than lang (the token-hash split)
+    assert(windows.exists(_.partitionSpec.size > 1),
+      s"no split-partitioned local window in:\n$plan")
+  }
+
   test("d01 exact dedup shuffles only the hash, not the text") {
     val plan = executed(DocumentsQ.d01ExactDups(spark, dir))
     val shuffles = allNodes(plan).collect { case s: ShuffleExchangeLike => s }
