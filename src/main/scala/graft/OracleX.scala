@@ -866,7 +866,120 @@ object OracleX {
     "(brightness > 200.0 AND contrast < 40.0) AS is_washed_out " +
     "FROM q ORDER BY doc_id, media_ref"
 
+  // ---- A/B testing (x30) + regression ladder (x31) mirrors ----
+
+  /** Shared strategy-profile expressions for x30/x31 (ExtractionQ
+    * goldenPairs / abCandPairs / abBrokenPairs / abCosmeticPairs).
+    */
+  private val abName = "w[1] || ' ' || w[2]"
+  private val abProv = "w[3] || ' ' || w[4]"
+  private val abNameB =
+    "CASE WHEN id % 23 = 0 THEN (CASE WHEN n >= 5 THEN w[5] ELSE 'alt' END) " +
+      s"WHEN id % 13 = 0 THEN upper(w[1]) || '  ' || upper(w[2]) ELSE $abName END"
+  private val abNameC =
+    "CASE WHEN id % 11 = 0 THEN (CASE WHEN n >= 6 THEN w[6] ELSE 'other' END) " +
+      s"ELSE $abName END"
+  private val abNameM =
+    "CASE WHEN id % 23 = 0 THEN (CASE WHEN n >= 5 THEN w[5] ELSE 'alt' END) " +
+      s"WHEN id % 13 = 0 THEN upper(w[1]) || '  ' || upper(w[2]) " +
+      s"ELSE upper($abName) END"
+  private val abProvB =
+    s"CASE WHEN id % 17 = 0 THEN substr($abProv, 1, length($abProv) - 1) ELSE $abProv END"
+  private val abProvC = s"CASE WHEN id % 43 = 0 THEN 'zzz clinic' ELSE $abProvB END"
+  private val abTotB =
+    s"CASE WHEN id % 19 = 0 THEN ${centsStr("cents + cents // 5")} ELSE ${centsStr("cents")} END"
+  private def abMatch(g: String, x: String): String =
+    "CASE match_level " +
+      s"WHEN 'exact' THEN $g = $x " +
+      s"WHEN 'normalized' THEN ${normSql(g)} = ${normSql(x)} " +
+      s"WHEN 'fuzzy' THEN ${ratioSql(normSql(g), normSql(x))} >= 0.85 " +
+      s"ELSE abs(${numSql(g)} - ${numSql(x)}) / abs(${numSql(g)}) <= 0.01 END"
+
+  /** A/B outcome classification over four planted strategy pairs
+    * (ab_testing.py:164-171 decision rule, compare_runs ±0.02 field bar).
+    */
+  val x30: String =
+    s"WITH $evalWordsCte, " +
+      "g1 AS (SELECT id, did, w, len(w) AS n, (id*97) % 90000 + 100 AS cents FROM g0), " +
+      "v AS (" +
+      "SELECT id, 'claim_id' AS field, 'exact' AS match_level, did AS g, " +
+      "CASE WHEN id % 29 = 0 THEN substr(did, 5) ELSE did END AS xb, " +
+      "did AS xc, " +
+      "CASE WHEN id % 7 = 0 THEN substr(did, 5) ELSE did END AS xk, " +
+      "CASE WHEN id % 29 = 0 THEN substr(did, 5) ELSE did END AS xm FROM g1 " +
+      s"UNION ALL SELECT id, 'patient_name', 'normalized', $abName, " +
+      s"$abNameB, $abNameC, $abNameB, $abNameM FROM g1 " +
+      s"UNION ALL SELECT id, 'provider', 'fuzzy', $abProv, " +
+      s"$abProvB, $abProvC, $abProvB, $abProvB FROM g1 " +
+      s"UNION ALL SELECT id, 'total_charges', 'numeric', '$$' || ${centsStr("cents")}, " +
+      s"$abTotB, $abTotB, $abTotB, $abTotB FROM g1), " +
+      "t AS (" +
+      "SELECT 'baseline_vs_candidate' AS test_name, field, match_level, g, xb AS xa, xc AS xx FROM v " +
+      "UNION ALL SELECT 'baseline_vs_broken', field, match_level, g, xb, xk FROM v " +
+      "UNION ALL SELECT 'broken_vs_baseline', field, match_level, g, xk, xb FROM v " +
+      "UNION ALL SELECT 'cosmetic_refactor', field, match_level, g, xb, xm FROM v), " +
+      "m AS (SELECT test_name, field, " +
+      s"CAST(${abMatch("g", "xa")} AS INT) AS ma, CAST(${abMatch("g", "xx")} AS INT) AS mb FROM t), " +
+      "pf AS (SELECT test_name, field, " +
+      "CAST(SUM(ma) AS BIGINT) AS tpa, CAST(SUM(1 - ma) AS BIGINT) AS ea, " +
+      "CAST(SUM(mb) AS BIGINT) AS tpb, CAST(SUM(1 - mb) AS BIGINT) AS eb FROM m GROUP BY 1, 2), " +
+      "pf2 AS (SELECT *, CAST(tpa AS DOUBLE) * 2 / (tpa * 2 + ea + ea) AS f1a, " +
+      "CAST(tpb AS DOUBLE) * 2 / (tpb * 2 + eb + eb) AS f1b FROM pf), " +
+      "agg AS (SELECT test_name, " +
+      "CAST(SUM(tpa) AS DOUBLE) * 2 / (SUM(tpa) * 2 + SUM(ea) + SUM(ea)) AS f1_a, " +
+      "CAST(SUM(tpb) AS DOUBLE) * 2 / (SUM(tpb) * 2 + SUM(eb) + SUM(eb)) AS f1_b, " +
+      "coalesce(array_to_string(list(field ORDER BY field) FILTER (WHERE f1b - f1a < -0.02), ','), '') AS regressions, " +
+      "coalesce(array_to_string(list(field ORDER BY field) FILTER (WHERE f1b - f1a > 0.02), ','), '') AS improvements " +
+      "FROM pf2 GROUP BY 1) " +
+      "SELECT test_name, f1_a, f1_b, f1_b - f1_a AS f1_delta, " +
+      "CASE WHEN f1_b - f1_a > 0.02 THEN 'b_wins' " +
+      "WHEN f1_b - f1_a < -0.02 THEN 'a_wins' ELSE 'no_difference' END AS outcome, " +
+      "regressions, improvements " +
+      "FROM agg ORDER BY test_name"
+
+  /** Regression severity ladder vs the committed baseline fixture
+    * (regression.py:118-201): literals inlined from the SAME classpath
+    * resource the Spark side reads, so fixture edits can't drift.
+    */
+  val x31: String = {
+    val (baseMicro, baseFields) = graft.queries.ExtractionQ.regressionBaseline
+    val baseValues = baseFields
+      .map { case (f, v) => s"('$f', CAST($v AS DOUBLE))" }.mkString(", ")
+    s"WITH $evalWordsCte, " +
+      "g1 AS (SELECT id, did, w, len(w) AS n, (id*97) % 90000 + 100 AS cents FROM g0), " +
+      "cur AS (" +
+      "SELECT id, 'claim_id' AS field, 'exact' AS match_level, did AS g, did AS x FROM g1 " +
+      s"UNION ALL SELECT id, 'patient_name', 'normalized', $abName, $abNameC FROM g1 " +
+      s"UNION ALL SELECT id, 'provider', 'fuzzy', $abProv, $abProvC FROM g1 " +
+      s"UNION ALL SELECT id, 'total_charges', 'numeric', '$$' || ${centsStr("cents")}, $abTotB FROM g1), " +
+      s"m AS (SELECT field, CAST(${abMatch("g", "x")} AS INT) AS mm FROM cur), " +
+      "agg AS (SELECT field, CAST(SUM(mm) AS BIGINT) AS tp, " +
+      "CAST(SUM(1 - mm) AS BIGINT) AS e FROM m GROUP BY 1), " +
+      s"base(field, baseline_f1) AS (SELECT * FROM (VALUES $baseValues)), " +
+      "pf AS (SELECT coalesce(a.field, b.field) AS field, " +
+      "coalesce(b.baseline_f1, CAST(0.0 AS DOUBLE)) AS baseline_f1, " +
+      "coalesce(CAST(a.tp AS DOUBLE) * 2 / (a.tp * 2 + a.e + a.e), CAST(0.0 AS DOUBLE)) AS current_f1, " +
+      "a.tp AS tp, a.e AS e " +
+      "FROM agg a FULL JOIN base b ON a.field = b.field), " +
+      "pf2 AS (SELECT *, current_f1 - baseline_f1 AS delta, " +
+      "CASE WHEN current_f1 - baseline_f1 < -0.02 THEN 'regression' " +
+      "WHEN current_f1 - baseline_f1 > 0.02 THEN 'improvement' ELSE 'stable' END AS status FROM pf), " +
+      "pf3 AS (SELECT *, CASE WHEN status = 'regression' THEN " +
+      "(CASE WHEN abs(delta) >= 0.10 THEN 'critical' ELSE 'warning' END) " +
+      "ELSE 'info' END AS severity FROM pf2), " +
+      "ov AS (SELECT MAX(CASE WHEN status = 'regression' THEN 1 ELSE 0 END) AS any_reg, " +
+      "MAX(CASE WHEN severity = 'critical' THEN 1 ELSE 0 END) AS any_crit, " +
+      "CAST(SUM(tp) AS DOUBLE) * 2 / (SUM(tp) * 2 + SUM(e) + SUM(e)) AS cur_micro FROM pf3) " +
+      "SELECT field, baseline_f1, current_f1, delta, status, severity, " +
+      "any_reg = 1 AS has_regression, " +
+      "CASE WHEN any_crit = 1 THEN 'critical' WHEN any_reg = 1 THEN 'warning' " +
+      "ELSE 'info' END AS overall_severity, " +
+      s"cur_micro - CAST($baseMicro AS DOUBLE) AS overall_f1_delta " +
+      "FROM pf3, ov ORDER BY field"
+  }
+
   val all: Map[String, String] = Map(
+    "x30_ab_test" -> x30, "x31_regression_ladder" -> x31,
     "x14_cross_field" -> x14, "x15_confidence" -> x15, "x16_critic" -> x16,
     "x17_golden_eval" -> x17, "x18_field_f1" -> x18, "x19_record_suspicion" -> x19,
     "x20_code_checks" -> x20, "x21_fax_signals" -> x21, "x22_doc_segments" -> x22,

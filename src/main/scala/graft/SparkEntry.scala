@@ -92,6 +92,8 @@ object SparkEntry {
     "x27_span_provenance" -> (ExtractionQ.x27SpanProvenance _),
     "x28_consolidated" -> (ExtractionQ.x28Consolidated _),
     "x29_decoded_quality" -> (ExtractionQ.x29DecodedQuality _),
+    "x30_ab_test" -> (ExtractionQ.x30AbTest _),
+    "x31_regression_ladder" -> (ExtractionQ.x31RegressionLadder _),
     "d16_length_quantiles" -> (DocumentsQ.d16LengthQuantiles _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),

@@ -1135,10 +1135,17 @@ object ExtractionQ {
     * save_baseline/load_baseline): a committed classpath resource in the
     * reference's stored-baseline JSON shape, parsed once per JVM.
     */
-  private[queries] lazy val regressionBaseline: (Double, Seq[(String, Double)]) = {
-    val in = getClass.getResourceAsStream("/graft/regression_baseline.json")
-    require(in != null, "missing committed baseline resource")
-    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+  private[graft] lazy val regressionBaseline: (Double, Seq[(String, Double)]) = {
+    // classpath first (sbt test / packaged runs); fall back to the source
+    // tree for bare `java -cp classes` invocations where `sbt compile`
+    // hasn't copied resources
+    val txt = Option(getClass.getResourceAsStream("/graft/regression_baseline.json"))
+      .map(in => scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      .getOrElse {
+        val p = java.nio.file.Paths.get("src/main/resources/graft/regression_baseline.json")
+        require(java.nio.file.Files.exists(p), "missing committed baseline fixture")
+        java.nio.file.Files.readString(p)
+      }
     val micro = """"micro_f1"\s*:\s*([0-9.]+)""".r
       .findFirstMatchIn(txt).map(_.group(1).toDouble).get
     val fields = """"([a-z_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
