@@ -978,8 +978,43 @@ object OracleX {
       "FROM pf3, ov ORDER BY field"
   }
 
+  /** Schema-versioning mirror (x32): the five canonical hash preimages are
+    * constants (name-sorted name+type+PythonBool concatenation,
+    * versioning.py:329-344), so every column reduces to a CASE on the id
+    * schedule with sha256 over string literals.
+    */
+  val x32: String = {
+    val v1 = "claim_idstringTruenotesstringFalsepatient_namestringTruetotalnumberTrue"
+    val vAdd = "auth_codestringFalse" + v1
+    val vRem = "claim_idstringTruepatient_namestringTruetotalnumberTrue"
+    val vTyp = "claim_idstringTruenotesstringFalsepatient_namestringTruetotalstringTrue"
+    val vReq = "claim_idstringTruenotesstringTruepatient_namestringTruetotalnumberTrue"
+    "WITH s AS (SELECT doc_id AS id, printf('doc_%09d', doc_id) AS did, " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'none' " +
+      "WHEN doc_id % 4 = 0 THEN 'add' WHEN doc_id % 4 = 1 THEN 'rem' " +
+      "WHEN doc_id % 4 = 2 THEN 'typ' ELSE 'req' END AS k FROM documents) " +
+      s"SELECT did AS doc_id, sha256('$v1') AS schema_hash_v1, " +
+      s"CASE k WHEN 'none' THEN sha256('$v1') WHEN 'add' THEN sha256('$vAdd') " +
+      s"WHEN 'rem' THEN sha256('$vRem') WHEN 'typ' THEN sha256('$vTyp') " +
+      s"ELSE sha256('$vReq') END AS schema_hash_v2, " +
+      "k <> 'none' AS changed, " +
+      "CASE k WHEN 'none' THEN '' WHEN 'add' THEN 'field_added' " +
+      "WHEN 'rem' THEN 'field_removed' WHEN 'typ' THEN 'field_type_changed' " +
+      "ELSE 'field_required_changed' END AS change_types, " +
+      "k IN ('rem', 'typ') AS is_breaking, " +
+      "CASE k WHEN 'none' THEN '1.0.0' WHEN 'rem' THEN '1.1.0' ELSE '1.0.1' END AS new_version, " +
+      "CASE k WHEN 'none' THEN 'No changes' WHEN 'add' THEN '1 field(s) added' " +
+      "WHEN 'rem' THEN '1 field(s) removed' ELSE '1 other change(s)' END AS summary, " +
+      "CASE k WHEN 'add' THEN 'auth_code,claim_id,notes,patient_name,total' " +
+      "WHEN 'rem' THEN 'claim_id,patient_name,total' " +
+      "ELSE 'claim_id,notes,patient_name,total' END AS migrated_fields, " +
+      "CASE k WHEN 'add' THEN 'auth_code' ELSE '' END AS null_fields " +
+      "FROM s ORDER BY doc_id"
+  }
+
   val all: Map[String, String] = Map(
     "x30_ab_test" -> x30, "x31_regression_ladder" -> x31,
+    "x32_schema_versioning" -> x32,
     "x14_cross_field" -> x14, "x15_confidence" -> x15, "x16_critic" -> x16,
     "x17_golden_eval" -> x17, "x18_field_f1" -> x18, "x19_record_suspicion" -> x19,
     "x20_code_checks" -> x20, "x21_fax_signals" -> x21, "x22_doc_segments" -> x22,

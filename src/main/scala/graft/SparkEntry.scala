@@ -94,6 +94,7 @@ object SparkEntry {
     "x29_decoded_quality" -> (ExtractionQ.x29DecodedQuality _),
     "x30_ab_test" -> (ExtractionQ.x30AbTest _),
     "x31_regression_ladder" -> (ExtractionQ.x31RegressionLadder _),
+    "x32_schema_versioning" -> (ExtractionQ.x32SchemaVersioning _),
     "d16_length_quantiles" -> (DocumentsQ.d16LengthQuantiles _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),

@@ -1131,6 +1131,54 @@ object ExtractionQ {
       .orderBy("test_name")
   }
 
+  /** Schema versioning surface (x32, `src/schemas/versioning.py`): each
+    * document evolves the base extraction schema per an id schedule — no
+    * change (every 5th), a field added, a field removed, a type change, a
+    * required flip — and the row carries the content hashes, the register
+    * outcome (changed + bumped semver), the diff classification with the
+    * reference's asymmetric is_breaking-vs-bump rules, the summary line,
+    * and the migrated result's field/null sets. Map-only; every value is
+    * id arithmetic over constant schemas, so DuckDB re-derives all of it
+    * (the five canonical hash strings are literals in the oracle).
+    */
+  def x32SchemaVersioning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SchemaVersioning._
+    import spark.implicits._
+    load(spark, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val v1 = Seq(
+          Field("claim_id", "string", required = true),
+          Field("patient_name", "string", required = true),
+          Field("total", "number", required = true),
+          Field("notes", "string", required = false))
+        val v2 =
+          if (id % 5 == 0) v1
+          else (id % 4) match {
+            case 0 => v1 :+ Field("auth_code", "string", required = false)
+            case 1 => v1.filterNot(_.name == "notes")
+            case 2 => v1.map(f =>
+              if (f.name == "total") f.copy(fieldType = "string") else f)
+            case _ => v1.map(f =>
+              if (f.name == "notes") f.copy(required = true) else f)
+          }
+        val d = diff(v1, v2)
+        val (ver, changed) = registerVersion("1.0.0", v1, v2)
+        val migrated = migrate(
+          v1.map(f => f.name -> (Some("v"): Option[String])).toMap, d)
+        (graft.tokenize.DocGen.docIdStr(id), schemaHash(v1), schemaHash(v2),
+          changed, d.changes.map(_.changeType).sorted.mkString(","),
+          d.isBreaking, ver, d.summary,
+          migrated.keys.toSeq.sorted.mkString(","),
+          migrated.filter(_._2.isEmpty).keys.toSeq.sorted.mkString(","))
+      }
+      .toDF("doc_id", "schema_hash_v1", "schema_hash_v2", "changed",
+        "change_types", "is_breaking", "new_version", "summary",
+        "migrated_fields", "null_fields")
+      .orderBy("doc_id")
+  }
+
   /** The persisted regression baseline (`regression.py:208-224`
     * save_baseline/load_baseline): a committed classpath resource in the
     * reference's stored-baseline JSON shape, parsed once per JVM.
