@@ -136,8 +136,11 @@ object Bench {
   /** Warm-up slice size: a third of the corpus, capped — JIT warm-up
     * saturates well below 400k docs, and an uncapped third of the 4x corpus
     * (2.1M docs) was a pure wall-clock tax on the longest measurement legs.
-    * MUST stay in sync between ensureCorpus (writer) and scalingWorker
-    * (reader) — hence the shared helper.
+    * Written by ensureCorpus; scalingWorker COUNTS the materialized warm
+    * corpus instead of recomputing this formula (round-5 lesson: a cached
+    * corpus built by a previous code version tripped extractRun's lost-docs
+    * require when the formula changed — the parquet-footer count is free
+    * and always matches the bytes actually on disk).
     */
   private def warmSize(nDocs: Long): Long =
     math.min(math.max(nDocs / 3, 1000L), 400000L)
@@ -151,7 +154,7 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALING_RUNS", "3").toInt
     val spark = session(cores)
     val base = java.nio.file.Files.createTempDirectory(s"graft_bench_c$cores")
-    val warmDocs = warmSize(nDocs)
+    val warmDocs = spark.read.parquet(s"$corpusBase/corpus_warm").count()
     stageRun(spark, mode, s"$corpusBase/corpus_warm", warmDocs, s"$base/warmup")
     val secs = (1 to runs).map(r =>
       stageRun(spark, mode, s"$corpusBase/corpus", nDocs, s"$base/run$r"))
@@ -335,7 +338,7 @@ object Bench {
       val d = new java.io.File(tmpBase, s"corpus_${kind}_$n")
       if (!new java.io.File(d, "corpus/_SUCCESS").exists()) {
         val s = session(32)
-        writeCorpus(s, math.max(n / 3, 1000L), 128, s"$d/corpus_warm", skewed)
+        writeCorpus(s, warmSize(n), 128, s"$d/corpus_warm", skewed)
         writeCorpus(s, n, 128, s"$d/corpus", skewed)
         s.stop()
       }
