@@ -285,9 +285,15 @@ object Bench {
     // partial run at an existing FULL artifact gets redirected.
     val isPartialRun = skipScaling || skipQueries || scalingMode != "full" ||
       sys.env.get("SPARK_GRAFT_SKIP_EXTRAS").contains("1") || nDocs < defaultDocs
+    // A full artifact is one whose scaling pair ran at (at least) the
+    // default corpus size — n_docs is the first scaling field, so the first
+    // match is the primary pair. (The old marker, presence of "n_docs_4x",
+    // missed budget-exhausted full runs that skipped the 4x sub-object,
+    // and matched reduced-doc smoke output which also carries the 4x key.)
     def looksFullArtifact(p: String): Boolean =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get(p))
-        .contains("\"n_docs_4x\"")
+      try """"n_docs":(\d+)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+        .exists(_.group(1).toLong >= defaultDocs)
       catch { case _: Throwable => false }
     val outPath = sys.env.get("BENCH_OUT") match {
       case Some(p) if isPartialRun && looksFullArtifact(p) =>

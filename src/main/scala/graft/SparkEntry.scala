@@ -54,6 +54,7 @@ object SparkEntry {
     "d13_native_tokens" -> (DocumentsQ.d13NativeTokens _),
     "d14_date_roundtrip" -> (DocumentsQ.d14DateRoundtrip _),
     "d15_corrections" -> (DocumentsQ.d15Corrections _),
+    "d17_dedup_components" -> (DocumentsQ.d17DedupComponents _),
     // similarity search over embeddings
     "e01_norms" -> (EmbeddingsQ.e01Norms _),
     "e02_ann_bruteforce" -> (EmbeddingsQ.e02AnnBruteForce _),
@@ -100,7 +101,9 @@ object SparkEntry {
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),
     "s02_user_state" -> (StreamingQ.s02UserState _),
     "s03_watermark_append" -> (StreamingQ.s03WatermarkAppend _),
-    "s04_stream_dedup" -> (StreamingQ.s04StreamDedup _))
+    "s04_stream_dedup" -> (StreamingQ.s04StreamDedup _),
+    "s05_stream_join" -> (StreamingQ.s05StreamJoin _),
+    "s06_stream_enrich" -> (StreamingQ.s06StreamEnrich _))
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -345,6 +348,28 @@ object SparkEntry {
         "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, " +
         "COUNT(*) OVER (PARTITION BY user_id) AS n_events FROM events) " +
         "WHERE rn = 1 ORDER BY user_id"),
+    "s05_stream_join" ->
+      ("SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, " +
+        "p.value FROM events c JOIN events p ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+        "ORDER BY click_id, purchase_id"),
+    "s06_stream_enrich" ->
+      ("WITH s AS (SELECT event_type, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS type_avg " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_type, COUNT(*) AS n_above, s.type_avg FROM events e " +
+        "JOIN s ON e.event_type = s.event_type WHERE e.value > s.type_avg " +
+        "GROUP BY e.event_type, s.type_avg ORDER BY e.event_type"),
+    "d17_dedup_components" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "len(string_split_regex(trim(text), '\\s+')) >= 40 AS elig FROM documents), " +
+        "nodes AS (SELECT doc_id, doc_id AS component_id, " +
+        "CASE WHEN elig THEN 3 ELSE 1 END AS component_size FROM w " +
+        "UNION ALL SELECT doc_id + 10000000, doc_id, 3 FROM w WHERE elig " +
+        "UNION ALL SELECT doc_id + 20000000, doc_id, 3 FROM w WHERE elig) " +
+        "SELECT doc_id, component_id, CAST(component_size AS BIGINT) AS component_size, " +
+        "doc_id = component_id AS keep FROM nodes ORDER BY doc_id"),
     "e05_centroids" ->
       ("WITH comps AS (SELECT label, unnest(embedding) AS v, " +
         "generate_subscripts(embedding, 1) AS dim FROM embeddings), " +

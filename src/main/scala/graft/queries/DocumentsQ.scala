@@ -153,11 +153,12 @@ object DocumentsQ {
     * Incidental behavior is spec-pinned (NearDupSurfaceSpec plants an
     * exact-duplicate base pair and requires it here, unflagged).
     */
-  def d06MinhashLshAll(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashVariants(spark, dir)
-      .withColumn("sig", minhashUdf(col("text")))
-      .select(col("doc_id"), col("sig"))
-    // shuffle only (doc_id, band) pairs — signatures rejoin after dedup
+  /** MinHash LSH candidate-pair pipeline over a (doc_id, sig) frame:
+    * band-bucket equi-join (hot buckets capped) -> distinct pairs ->
+    * signature-estimated Jaccard gate. Shuffles only (doc_id, band) pairs —
+    * signatures rejoin after dedup. Shared by d06 and d17.
+    */
+  private def minhashPairs(sigs: DataFrame): DataFrame = {
     val bands = capBuckets(sigs.select(col("doc_id"),
       posexplode(bandsUdf(col("sig"))).as(Seq("band_idx", "band_key"))),
       Seq("band_idx", "band_key"))
@@ -171,6 +172,14 @@ object DocumentsQ {
       .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
       .filter(minhashSimUdf(col("sig_a"), col("sig_b")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  def d06MinhashLshAll(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashVariants(spark, dir)
+      .withColumn("sig", minhashUdf(col("text")))
+      .select(col("doc_id"), col("sig"))
+    minhashPairs(sigs)
       .select(col("doc_a"), col("doc_b"),
         (col("doc_b") === col("doc_a") + 10000000L).as("planted"))
   }
@@ -180,6 +189,55 @@ object DocumentsQ {
       .filter(col("planted"))
       .select(col("doc_a"), col("doc_b"))
       .orderBy("doc_a")
+
+  /** Chain variants for the dedup-clustering surface: each eligible doc
+    * (>= 40 words, the d06 margin regime) gets TWO stacked variants —
+    * v1 = drop last 2 words (id + 10^7), v2 = drop last 4 (id + 2*10^7).
+    * Each parent/child pair drops exactly 2 words, so every chain edge has
+    * the d06 margin (shingle Jaccard >= (n-6)/(n-4) >= 0.944 at n = 40;
+    * 16x4 bands miss < 1e-11 per pair) — LSH recall of both chain edges is
+    * provably 1 and the oracle can enumerate the full family.
+    */
+  private[queries] def minhashChainVariants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(trim(col("text")), "\\s+")
+    val eligible = docs.filter(size(w) >= 40)
+    val v1 = eligible.select(
+      (col("doc_id") + lit(10000000L)).as("doc_id"),
+      concat_ws(" ", slice(w, lit(1), size(w) - 2)).as("text"))
+    val v2 = eligible.select(
+      (col("doc_id") + lit(20000000L)).as("doc_id"),
+      concat_ws(" ", slice(w, lit(1), size(w) - 4)).as("text"))
+    docs.unionByName(v1).unionByName(v2)
+  }
+
+  /** Dedup clustering + representative selection (the keep-one-copy stage
+    * every training pipeline runs after pair detection): the MinHash LSH
+    * pair pipeline runs over base ∪ chain variants, the provable planted
+    * chain edges (doc_b = doc_a + 10^7 — structurally exact: variant ids
+    * are parent + 10^7, so the predicate can only match same-family pairs,
+    * and recall is 1 by the minhashChainVariants margin) feed iterative
+    * min-label connected components (GraphOps), and each component elects
+    * its minimum doc id as the copy to keep. Eligible docs form provable
+    * 3-member chains {id, id+10^7, id+2*10^7} with component = id;
+    * everything else is a singleton — so the whole output is id arithmetic
+    * for the oracle while the engine runs the real sketch -> band join ->
+    * edge -> multi-round label propagation path. Components over the FULL
+    * (unfiltered) pair surface are spec-pinned (GraphOpsSpec) — incidental
+    * base-base near-dups merge clusters in ways only the signatures know.
+    */
+  def d17DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val fam = minhashChainVariants(spark, dir)
+    val sigs = fam.withColumn("sig", minhashUdf(col("text")))
+      .select(col("doc_id"), col("sig"))
+    val edges = minhashPairs(sigs)
+      .filter(col("doc_b") === col("doc_a") + 10000000L)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.functions.GraphOps.connectedComponents(
+      fam.select(col("doc_id").as("node")), edges, maxIter = 6)
+    graft.functions.GraphOps.componentSummary(labels)
+      .orderBy("doc_id")
+  }
 
   /** SimHash planted positives: every doc gets a rotated variant (first
     * word moved to the end, id + 10^7). SimHash is a bag-of-tokens sketch,

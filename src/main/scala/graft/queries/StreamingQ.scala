@@ -168,4 +168,80 @@ object StreamingQ {
         max_by(col("last_event_type"), col("n_events")).as("last_event_type"))
       .orderBy("user_id")
   }
+
+  /** Stream-stream interval join: each click matched to the same user's
+    * purchases within the following hour — two independently-watermarked
+    * streams joined on key + event-time range, the attribution-join shape.
+    * Watermarks on BOTH sides plus the time-range condition are what let
+    * Spark expire join state (a click's bucket is droppable once the
+    * purchase watermark passes click_ts + 1h) — without them an endless
+    * stream's join state grows without bound. Inner join: matches emit as
+    * found, nothing is withheld at termination, so the finite-replay result
+    * equals the batch interval join (the oracle).
+    */
+  def s05StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = load(spark, dir, "events").schema
+    val name = s"graft_stream_ssj_${counter.incrementAndGet()}"
+    def src(): DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Stream-static broadcast enrichment: the event stream joined to a
+    * BATCH-computed per-type dimension (average value, exact decimal sum /
+    * count so the double is order-independent) with an explicit
+    * `broadcast()` — the stateless stream-side lookup shape (no watermark
+    * needed: nothing is stateful). Emits above-average events; the final
+    * read re-aggregates per type. At scale the static side is a small dim
+    * refreshed per trigger epoch; the stream side never shuffles.
+    */
+  def s06StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val events = load(spark, dir, "events")
+    val typeStats = events.groupBy(col("event_type"))
+      .agg((dbl(sum(dec(col("value")))) / count(lit(1))).as("type_avg"))
+    val schema = events.schema
+    val name = s"graft_stream_en_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .join(broadcast(typeStats), "event_type")
+      .filter(col("value") > col("type_avg"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"), col("type_avg"))
+      .agg(count(lit(1)).as("n_above"))
+      .select(col("event_type"), col("n_above"), col("type_avg"))
+      .orderBy("event_type")
+  }
 }

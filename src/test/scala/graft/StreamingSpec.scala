@@ -71,6 +71,41 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = queries.StreamingQ.s05StreamJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("value"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+      .orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
+  test("stream-static enrichment equals the batch above-average count") {
+    val streamed = queries.StreamingQ.s06StreamEnrich(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val avgStats = ev.groupBy(col("event_type"))
+      .agg((queries.T.dbl(sum(queries.T.dec(col("value")))) / count(lit(1))).as("type_avg"))
+    val batch = ev.join(avgStats, "event_type")
+      .filter(col("value") > col("type_avg"))
+      .groupBy(col("event_type"), col("type_avg"))
+      .agg(count(lit(1)).as("n_above"))
+      .select(col("event_type"), col("n_above"), col("type_avg"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
 }
 
 /** Top-level (encoder-friendly) row types for the stateful streaming spec. */
