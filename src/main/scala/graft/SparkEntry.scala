@@ -55,6 +55,8 @@ object SparkEntry {
     "d14_date_roundtrip" -> (DocumentsQ.d14DateRoundtrip _),
     "d15_corrections" -> (DocumentsQ.d15Corrections _),
     "d17_dedup_components" -> (DocumentsQ.d17DedupComponents _),
+    "d18_corpus_mix" -> (DocumentsQ.d18CorpusMix _),
+    "d19_decontaminate" -> (DocumentsQ.d19Decontaminate _),
     // similarity search over embeddings
     "e01_norms" -> (EmbeddingsQ.e01Norms _),
     "e02_ann_bruteforce" -> (EmbeddingsQ.e02AnnBruteForce _),
@@ -361,6 +363,25 @@ object SparkEntry {
         "SELECT e.event_type, COUNT(*) AS n_above, s.type_avg FROM events e " +
         "JOIN s ON e.event_type = s.event_type WHERE e.value > s.type_avg " +
         "GROUP BY e.event_type, s.type_avg ORDER BY e.event_type"),
+    "d18_corpus_mix" ->
+      ("WITH wts(lang, weight_pct) AS (VALUES ('de', 100), ('en', 30), " +
+        "('es', 50), ('fr', 150), ('zh', 10)), " +
+        "gated AS (SELECT d.doc_id, d.lang, " +
+        "CASE WHEN w.weight_pct <= 100 THEN " +
+        "CASE WHEN d.doc_id % 100 < w.weight_pct THEN 1 ELSE 0 END " +
+        "ELSE 1 + CASE WHEN d.doc_id % 100 < w.weight_pct - 100 THEN 1 ELSE 0 END END " +
+        "AS n_copies FROM documents d JOIN wts w ON d.lang = w.lang) " +
+        "SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy " +
+        "FROM gated WHERE n_copies >= 1 ORDER BY doc_id, copy"),
+    "d19_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w " +
+        "FROM documents WHERE len(string_split_regex(trim(text), '\\s+')) >= 13), " +
+        "sh AS (SELECT doc_id, unnest([array_to_string(list_slice(w, i, i + 12), ' ') " +
+        "FOR i IN range(1, len(w) - 11)]) AS shingle FROM t), " +
+        "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0) " +
+        "SELECT sh.doc_id, COUNT(DISTINCT sh.shingle) AS n_shared_13grams, " +
+        "sh.doc_id % 41 = 0 AS is_eval_doc FROM sh JOIN ev ON sh.shingle = ev.shingle " +
+        "GROUP BY sh.doc_id ORDER BY sh.doc_id"),
     "d17_dedup_components" ->
       ("WITH w AS (SELECT doc_id, " +
         "len(string_split_regex(trim(text), '\\s+')) >= 40 AS elig FROM documents), " +

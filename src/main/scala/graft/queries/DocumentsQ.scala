@@ -429,4 +429,72 @@ object DocumentsQ {
       .filter(col("rank") <= 5)
       .orderBy("lang", "rank")
   }
+
+  /** Corpus-mixing weights (percent) per language — the domain-mixing
+    * config a training pipeline applies before tokenization. > 100 means
+    * UPsampling (the doc is replicated); < 100 is deterministic
+    * downsampling. Values are a fixture; production reads them from a
+    * config table.
+    */
+  private[graft] val mixWeights: Seq[(String, Int)] =
+    Seq("de" -> 100, "en" -> 30, "es" -> 50, "fr" -> 150, "zh" -> 10)
+
+  /** Corpus mixing / stratified sampling (d18): per-language target weights
+    * applied as a DETERMINISTIC id-mod gate — `doc_id % 100 < weight` keeps
+    * the decision reproducible at any parallelism and re-derivable by the
+    * oracle (production keys the gate on a salted content hash; the
+    * synthetic ids are already uniform). Upsampled languages emit `copy`
+    * rows 1..k via an in-row sequence explode. The weight table joins
+    * BROADCAST (a config dim never shuffles the corpus); the gate and the
+    * replication are map-only — the only shuffle in the query is the final
+    * presentation sort.
+    */
+  def d18CorpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = mixWeights.toDF("lang", "weight_pct")
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(broadcast(weights), "lang")
+    val copies = when(col("weight_pct") <= 100,
+        when(pmod(col("doc_id"), lit(100)) < col("weight_pct"), 1).otherwise(0))
+      .otherwise(lit(1) +
+        when(pmod(col("doc_id"), lit(100)) < col("weight_pct") - 100, 1).otherwise(0))
+    docs.withColumn("n_copies", copies)
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+      .withColumn("copy", col("copy").cast("long"))
+      .orderBy("doc_id", "copy")
+  }
+
+  /** Benchmark decontamination (d19): flag corpus documents sharing any
+    * word 13-gram with the evaluation set (the standard n-gram overlap
+    * check run before training). The eval set here is the `doc_id % 41 = 0`
+    * slice of the same table, so contamination is guaranteed non-empty
+    * (the eval docs themselves) and the whole join is exactly mirrorable in
+    * SQL — no planting. Shape at scale: eval shingles are the SMALL side
+    * (thousands of benchmark docs vs the corpus) and broadcast into a
+    * map-side semi-ish join; the corpus side is a map-only explode of
+    * 13-gram strings, aggregated per doc before output, so nothing but
+    * (doc_id, matched-shingle) pairs ever shuffles.
+    */
+  def d19Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val w = split(trim(col("text")), "\\s+")
+    // docs under 13 words have no 13-grams; filter BEFORE the sequence so
+    // sequence(1, n) never sees n <= 0 (Spark would emit a DESCENDING range)
+    val shingled = docs.filter(size(w) >= 13)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(w) - 12),
+          i => concat_ws(" ", slice(w, i, lit(13))))).as("shingle"))
+    val evalShingles = shingled
+      .filter(pmod(col("doc_id"), lit(41)) === 0)
+      .select(col("shingle")).distinct()
+    shingled
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_13grams"))
+      .withColumn("is_eval_doc", pmod(col("doc_id"), lit(41)) === 0)
+      .orderBy("doc_id")
+  }
 }

@@ -121,4 +121,40 @@ class QueriesSpec extends AnyFunSuite {
     val ok = df.filter("sum_ok").count()
     assert(total > 0 && ok == total, s"sum rule: $ok/$total")
   }
+
+  test("d18 corpus mix honors the per-language gates exactly") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val weights = queries.DocumentsQ.mixWeights.toMap
+    val expected = docs.flatMap { case (id, lang) =>
+      val w = weights(lang)
+      val n = if (w <= 100) (if (id % 100 < w) 1 else 0)
+              else 1 + (if (id % 100 < w - 100) 1 else 0)
+      (1 to n).map(c => (id, lang, c.toLong))
+    }.sortBy(t => (t._1, t._3))
+    val got = queries.DocumentsQ.d18CorpusMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    // fr is the upsampled stratum: some doc must appear twice
+    val fr = queries.DocumentsQ.d18CorpusMix(spark, dir)
+      .filter(col("lang") === "fr")
+      .agg(max("copy")).collect().head.getLong(0)
+    assert(fr == 2L, s"fr max copy = $fr")
+  }
+
+  test("d19 decontamination flags every eval doc (self-overlap) and only 13-gram sharers") {
+    import org.apache.spark.sql.functions.{col, size, split, trim}
+    val out = queries.DocumentsQ.d19Decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val evalWithGrams = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 41 === 0)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flaggedEval = out.filter(_._3).map(_._1).toSet
+    assert(flaggedEval == evalWithGrams,
+      s"eval docs flagged $flaggedEval != $evalWithGrams")
+    assert(out.forall(_._2 >= 1), "a flagged doc must share at least one 13-gram")
+  }
 }
