@@ -65,6 +65,7 @@ object SparkEntry {
     "e05_centroids" -> (EmbeddingsQ.e05Centroids _),
     "e06_embedding_neardup" -> (EmbeddingsQ.e06EmbeddingNearDup _),
     "e07_ann_ivf" -> (EmbeddingsQ.e07AnnIvf _),
+    "e08_ann_sq8" -> (EmbeddingsQ.e08AnnSq8 _),
     // the extraction pipeline (north rule)
     "x01_spans" -> (ExtractionQ.x01Spans _),
     "x02_span_stats" -> (ExtractionQ.x02SpanStats _),
@@ -423,6 +424,28 @@ object SparkEntry {
         "(SELECT query_id, neighbor_id, cos_sim, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank " +
         "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
+    "e08_ann_sq8" ->
+      ("WITH ex AS (SELECT unnest(embedding) AS v, " +
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings), " +
+        "st AS (SELECT dim, CAST(min(v) AS DOUBLE) AS mn, " +
+        "CAST(max(v) AS DOUBLE) AS mx FROM ex GROUP BY dim), " +
+        "sa AS (SELECT list(mn ORDER BY dim) AS mn_a, list(mx ORDER BY dim) AS mx_a FROM st), " +
+        "qv AS (SELECT vec_id, [CASE WHEN (mx_a[i] - mn_a[i]) = 0 THEN 0 " +
+        "ELSE CAST(least(floor((CAST(embedding[i] AS DOUBLE) - mn_a[i]) * 255.0 " +
+        "/ (mx_a[i] - mn_a[i])), 255.0) AS BIGINT) END " +
+        "FOR i IN range(1, len(embedding) + 1)] AS q FROM embeddings, sa), " +
+        "sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS dt, " +
+        "CAST(list_sum([a.q[i] * a.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS na, " +
+        "CAST(list_sum([b.q[i] * b.q[i] FOR i IN range(1, len(b.q) + 1)]) AS BIGINT) AS nb " +
+        "FROM qv a, qv b WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id), " +
+        "cs AS (SELECT query_id, neighbor_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 " +
+        "ELSE CAST(dt AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END " +
+        "AS cos_sq8 FROM sc) " +
+        "SELECT query_id, neighbor_id, cos_sq8, rank FROM " +
+        "(SELECT query_id, neighbor_id, cos_sq8, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sq8 DESC, neighbor_id) AS BIGINT) AS rank " +
+        "FROM cs) WHERE rank <= 5 ORDER BY query_id, rank"),
     "d06_minhash_lsh" ->
       ("SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b FROM documents " +
         "WHERE len(string_split_regex(trim(text), '\\s+')) >= 40 ORDER BY doc_a"),

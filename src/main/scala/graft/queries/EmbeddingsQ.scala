@@ -264,4 +264,68 @@ object EmbeddingsQ {
         count(lit(1)).as("n_dims"))
       .orderBy("label")
   }
+
+  /** One-pass quantized cosine components: (dot, ||a||², ||b||²) as exact
+    * Long sums over the int8 codes — deterministic at any parallelism, and
+    * byte-for-byte mirrorable by DuckDB BIGINT list arithmetic.
+    */
+  private val sq8ScoreUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var dt = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dt += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    (dt, na, nb)
+  }
+
+  /** Scalar-quantized (SQ8) ANN: per-dimension min/max over the corpus
+    * give a 256-level code per component — the memory-compression path for
+    * billion-vector search (4x less IO than float32; FAISS's SQ8 storage).
+    * Quantization is `floor((x - mn) * 255 / (mx - mn))` clamped to 255
+    * (floor, not round: half-up vs half-even rounding differs between
+    * engines; floor is unambiguous), scoring is cosine over the integer
+    * codes — exact Long arithmetic end-to-end until one final double
+    * divide/sqrt, so the oracle reproduces every score bit-exactly.
+    *
+    * Scale shape: the per-dim stats are one explode + groupBy over 64 dims
+    * collapsed to a single broadcast row; quantization is map-only; the
+    * scoring pass is the e02 broadcast-query scan over CODES (1/4 the
+    * bytes). Top-5 ties broken by neighbor_id (coarse integer scores tie
+    * more often than floats — the total order keeps both engines aligned).
+    */
+  def e08AnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val ex = emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+    val st = ex.groupBy("dim").agg(
+      min(col("v")).cast("double").as("mn"),
+      max(col("v")).cast("double").as("mx"))
+    val statsRow = st
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
+      .select(transform(col("s"), x => x.getField("mn")).as("mn_a"),
+        transform(col("s"), x => x.getField("mx")).as("mx_a"))
+    val quant = emb.crossJoin(broadcast(statsRow))
+      .withColumn("qv", zip_with(
+        zip_with(transform(col("embedding"), x => x.cast("double")),
+          col("mn_a"), (x, mn) => x - mn),
+        zip_with(col("mx_a"), col("mn_a"), (mx, mn) => mx - mn),
+        (d, r) => when(r === 0d, lit(0L))
+          .otherwise(least(floor(d * lit(255.0) / r), lit(255.0)).cast("long"))))
+      .select(col("vec_id"), col("qv"))
+    val qs = quant.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
+    val scored = quant.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("sc", sq8ScoreUdf(col("q_qv"), col("qv")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("sc._2") === 0L || col("sc._3") === 0L, lit(0.0))
+          .otherwise(col("sc._1").cast("double") /
+            (sqrt(col("sc._2").cast("double")) * sqrt(col("sc._3").cast("double"))))
+          .as("cos_sq8"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sq8"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
 }
