@@ -131,4 +131,34 @@ class PlanSpec extends AnyFunSuite {
       assert(!cols.contains("text"), s"raw text shuffled: $cols")
     }
   }
+
+  test("d18 corpus mix joins the weight config via broadcast; no text shuffled") {
+    val plan = executed(DocumentsQ.d18CorpusMix(spark, dir))
+    val bcast = allNodes(plan).collect { case b: BroadcastHashJoinExec => b }
+    assert(bcast.nonEmpty, s"weight dim not broadcast:\n$plan")
+    allNodes(plan).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+      assert(!s.child.output.map(_.name).contains("text"),
+        "corpus text shuffled in a selection-only query")
+    }
+  }
+
+  test("d19 decontamination broadcasts the eval shingles (no corpus-side shuffle join)") {
+    val plan = executed(DocumentsQ.d19Decontaminate(spark, dir))
+    val bcast = allNodes(plan).collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bcast.nonEmpty, s"eval shingles not broadcast:\n$plan")
+  }
+
+  test("e08 SQ8 broadcasts stats and query codes; corpus scanned, never shuffled for joins") {
+    val plan = executed(EmbeddingsQ.e08AnnSq8(spark, dir))
+    val nested = allNodes(plan).collect { case b: BroadcastNestedLoopJoinExec => b }
+    val hash = allNodes(plan).collect { case b: BroadcastHashJoinExec => b }
+    // stats cross-join and the =!= query join are both broadcast nested-loop
+    assert(nested.nonEmpty || hash.nonEmpty, s"no broadcast joins in:\n$plan")
+    allNodes(plan).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+      assert(!s.child.output.map(_.name).contains("embedding"),
+        "raw embeddings shuffled — the scoring join must broadcast the small side")
+    }
+  }
 }
