@@ -57,6 +57,8 @@ object SparkEntry {
     "d17_dedup_components" -> (DocumentsQ.d17DedupComponents _),
     "d18_corpus_mix" -> (DocumentsQ.d18CorpusMix _),
     "d19_decontaminate" -> (DocumentsQ.d19Decontaminate _),
+    "d20_holdout_split" -> (DocumentsQ.d20HoldoutSplit _),
+    "d21_repetition_filter" -> (DocumentsQ.d21RepetitionFilter _),
     // similarity search over embeddings
     "e01_norms" -> (EmbeddingsQ.e01Norms _),
     "e02_ann_bruteforce" -> (EmbeddingsQ.e02AnnBruteForce _),
@@ -383,6 +385,32 @@ object SparkEntry {
         "SELECT sh.doc_id, COUNT(DISTINCT sh.shingle) AS n_shared_13grams, " +
         "sh.doc_id % 41 = 0 AS is_eval_doc FROM sh JOIN ev ON sh.shingle = ev.shingle " +
         "GROUP BY sh.doc_id ORDER BY sh.doc_id"),
+    "d20_holdout_split" ->
+      ("WITH t AS (SELECT lang, source, substr(md5(text), 1, 2) AS hb FROM documents), " +
+        "s AS (SELECT lang, source, CASE WHEN hb < 'cd' THEN 'train' " +
+        "WHEN hb < 'e6' THEN 'val' ELSE 'test' END AS split FROM t) " +
+        "SELECT lang, source, " +
+        "CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train, " +
+        "CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val, " +
+        "CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test, " +
+        "COUNT(*) AS n_total, " +
+        "round(CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS train_frac " +
+        "FROM s GROUP BY lang, source ORDER BY lang, source"),
+    "d21_repetition_filter" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, len(w) AS n_words, CASE WHEN len(w) >= 2 THEN " +
+        "[array_to_string(list_slice(w, i, i + 1), ' ') FOR i IN range(1, len(w))] " +
+        "ELSE [] END AS grams FROM t) " +
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+        "CAST(len(grams) AS BIGINT) AS n_2grams, " +
+        "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_2grams, " +
+        "CASE WHEN len(grams) = 0 THEN 0.0 ELSE " +
+        "round(CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE) " +
+        "/ CAST(len(grams) AS DOUBLE), 6) END AS dup_2gram_frac, " +
+        "(len(grams) - len(list_distinct(grams))) * 25 > len(grams) AS flagged_repetitive " +
+        "FROM g ORDER BY doc_id"),
     "d17_dedup_components" ->
       ("WITH w AS (SELECT doc_id, " +
         "len(string_split_regex(trim(text), '\\s+')) >= 40 AS elig FROM documents), " +

@@ -497,4 +497,71 @@ object DocumentsQ {
       .withColumn("is_eval_doc", pmod(col("doc_id"), lit(41)) === 0)
       .orderBy("doc_id")
   }
+
+  /** Dedup-aware stratified train/val/test split (d20): the holdout
+    * assignment every training pipeline makes before tokenization. The
+    * split is keyed on the CONTENT hash, not the document id, so exact
+    * duplicates always land in the same split — the standard guard against
+    * train→eval leakage through duplicated text (id-keyed splits scatter a
+    * duplicate group across splits). Bucketing compares the first two hex
+    * chars of md5 lexicographically ('00'..'cc' → train 205/256 ≈ 80.1%,
+    * 'cd'..'e5' → val, 'e6'..'ff' → test) — a pure string comparison both
+    * engines evaluate identically, no hex→int conversion needed. Output is
+    * the per-(lang, source) audit table: counts per split and the exact
+    * train fraction. Shape at scale: one map-only hash+gate pass; only
+    * (lang, source, split) keyed counts shuffle after map-side combine —
+    * the text never leaves the scan.
+    */
+  def d20HoldoutSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        substring(md5(col("text")), 1, 2).as("hb"))
+    val tagged = docs.withColumn("split",
+      when(col("hb") < "cd", "train")
+        .when(col("hb") < "e6", "val")
+        .otherwise("test"))
+    tagged.groupBy(col("lang"), col("source"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        count(lit(1)).as("n_total"))
+      .withColumn("train_frac",
+        round(col("n_train").cast("double") / col("n_total").cast("double"), 6))
+      .orderBy("lang", "source")
+  }
+
+  /** Intra-document repetition filter (d21): the Gopher-style quality gate
+    * that drops boilerplate/degenerate documents by their duplicate-2-gram
+    * fraction (Rae et al. 2021 use duplicate n-gram character fractions;
+    * the token-count variant here is the common simplification). Everything
+    * is computed per row with codegen'd collection built-ins — no explode,
+    * no shuffle except the presentation sort — so at 100 TB this is a pure
+    * map over the scan. The flag avoids a threshold comparison on a
+    * computed double: `dup > 1/25` is evaluated as the exact integer test
+    * `25 * (n_2grams - n_distinct) > n_2grams`. (Gopher's production
+    * threshold is 0.20 on duplicate-n-gram CHARACTER fraction; the
+    * synthetic corpus draws from a wide vocabulary and tops out near 0.06,
+    * so the demo gate is calibrated to 1/25 to exercise both branches —
+    * the operator shape is identical at any cut.)
+    */
+  def d21RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(trim(lower(col("text"))), "\\s+")
+    // size(w) < 2 would hand sequence() a descending range — guard first
+    val grams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i => concat_ws(" ", slice(w, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), size(w).cast("long").as("n_words"), grams.as("grams"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("grams")).cast("long").as("n_2grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_2grams"))
+      .withColumn("dup_2gram_frac",
+        when(col("n_2grams") === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - col("n_distinct_2grams").cast("double") /
+            col("n_2grams").cast("double"), 6)))
+      .withColumn("flagged_repetitive",
+        (col("n_2grams") - col("n_distinct_2grams")) * 25 > col("n_2grams"))
+      .orderBy("doc_id")
+  }
 }

@@ -150,6 +150,30 @@ class PlanSpec extends AnyFunSuite {
     assert(bcast.nonEmpty, s"eval shingles not broadcast:\n$plan")
   }
 
+  test("d20 holdout split shuffles only post-combine counts, never the text") {
+    val plan = executed(DocumentsQ.d20HoldoutSplit(spark, dir))
+    allNodes(plan).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+      assert(!s.child.output.map(_.name).contains("text"),
+        s"raw text shuffled: ${s.child.output.map(_.name)}")
+    }
+  }
+
+  test("d21 repetition filter is map-only: the sole exchange is the presentation sort") {
+    val plan = executed(DocumentsQ.d21RepetitionFilter(spark, dir))
+    val shuffles = allNodes(plan).collect { case s: ShuffleExchangeLike => s }
+    shuffles.foreach { s =>
+      assert(s.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+        s"non-sort shuffle in a map-only query: ${s.outputPartitioning}")
+    }
+    val joins = allNodes(plan).collect {
+      case b: BroadcastHashJoinExec => b
+      case b: BroadcastNestedLoopJoinExec => b
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.isEmpty, "d21 must not join")
+  }
+
   test("e08 SQ8 broadcasts stats and query codes; corpus scanned, never shuffled for joins") {
     val plan = executed(EmbeddingsQ.e08AnnSq8(spark, dir))
     val nested = allNodes(plan).collect { case b: BroadcastNestedLoopJoinExec => b }

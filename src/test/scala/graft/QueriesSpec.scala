@@ -176,4 +176,57 @@ class QueriesSpec extends AnyFunSuite {
       s"eval docs flagged $flaggedEval != $evalWithGrams")
     assert(out.forall(_._2 >= 1), "a flagged doc must share at least one 13-gram")
   }
+
+  test("d20 holdout split matches an independent md5 recomputation and is dedup-aware") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def bucket(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hb = md.digest(text.getBytes("UTF-8")).take(1)
+        .map(b => f"${b & 0xff}%02x").mkString
+      if (hb < "cd") "train" else if (hb < "e6") "val" else "test"
+    }
+    val expected = docs.groupBy(d => (d._1, d._2)).map { case ((lang, src), rows) =>
+      val splits = rows.map(r => bucket(r._3))
+      val (tr, va, te) =
+        (splits.count(_ == "train").toLong, splits.count(_ == "val").toLong,
+          splits.count(_ == "test").toLong)
+      (lang, src, tr, va, te, rows.length.toLong,
+        BigDecimal(tr.toDouble / rows.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = queries.DocumentsQ.d20HoldoutSplit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+    // dedup-awareness is structural: identical text => identical md5 prefix
+    // => identical split; assert the key really is the content hash by
+    // checking two equal texts map to the same bucket
+    assert(bucket("same words") == bucket("same words"))
+  }
+
+  test("d21 repetition stats match a per-document Scala recomputation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, text) =>
+      val w = text.trim.toLowerCase.split("\\s+")
+      val grams = if (w.length >= 2) w.sliding(2).map(_.mkString(" ")).toArray
+        else Array.empty[String]
+      val dist = grams.distinct.length.toLong
+      val frac = if (grams.isEmpty) 0.0
+        else BigDecimal(1.0 - dist.toDouble / grams.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, w.length.toLong, grams.length.toLong, dist, frac,
+        (grams.length - dist) * 25 > grams.length)
+    }.sortBy(_._1)
+    val got = queries.DocumentsQ.d21RepetitionFilter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got.toSeq == expected.toSeq)
+    // the corpus draws from a small vocabulary: repetition must actually
+    // occur somewhere or the surface is vacuous
+    assert(expected.exists(e => e._4 < e._3), "no doc has any repeated 2-gram")
+  }
 }
