@@ -59,6 +59,7 @@ object SparkEntry {
     "d19_decontaminate" -> (DocumentsQ.d19Decontaminate _),
     "d20_holdout_split" -> (DocumentsQ.d20HoldoutSplit _),
     "d21_repetition_filter" -> (DocumentsQ.d21RepetitionFilter _),
+    "d22_pii_scrub" -> (DocumentsQ.d22PiiScrub _),
     // similarity search over embeddings
     "e01_norms" -> (EmbeddingsQ.e01Norms _),
     "e02_ann_bruteforce" -> (EmbeddingsQ.e02AnnBruteForce _),
@@ -411,6 +412,27 @@ object SparkEntry {
         "/ CAST(len(grams) AS DOUBLE), 6) END AS dup_2gram_frac, " +
         "(len(grams) - len(list_distinct(grams))) * 25 > len(grams) AS flagged_repetitive " +
         "FROM g ORDER BY doc_id"),
+    "d22_pii_scrub" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || " +
+        "' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example' || " +
+        "CASE WHEN doc_id % 2 = 1 THEN ' alt' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example' ELSE '' END || " +
+        "' phone 555-' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' || " +
+        "CAST(1000 + doc_id % 9000 AS VARCHAR) || " +
+        "' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' || " +
+        "CAST(10 + doc_id % 90 AS VARCHAR) || '-' || " +
+        "CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE text END AS t FROM documents), " +
+        "s AS (SELECT doc_id, t, regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[a-z0-9.]+@[a-z.]+[a-z]', '[EMAIL]', 'g'), " +
+        "'\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g'), " +
+        "'\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g') AS sc FROM p) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z.]+[a-z]')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones, " +
+        "CAST(len(regexp_extract_all(t, '\\d{3}-\\d{2}-\\d{4}')) AS BIGINT) AS n_ssns, " +
+        "md5(sc) AS scrubbed_hash, " +
+        "CAST(length(t) - length(sc) AS BIGINT) AS chars_removed " +
+        "FROM s ORDER BY doc_id"),
     "d17_dedup_components" ->
       ("WITH w AS (SELECT doc_id, " +
         "len(string_split_regex(trim(text), '\\s+')) >= 40 AS elig FROM documents), " +

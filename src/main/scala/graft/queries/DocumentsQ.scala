@@ -564,4 +564,56 @@ object DocumentsQ {
         (col("n_2grams") - col("n_distinct_2grams")) * 25 > col("n_2grams"))
       .orderBy("doc_id")
   }
+
+  /** PII patterns shared by the query and its spec. RE2-safe (no
+    * backreferences/lookaround) so the DuckDB oracle runs the IDENTICAL
+    * regexes: email, NANP-style phone (d3-d3-d4), SSN (d3-d2-d4). The two
+    * dashed patterns cannot cross-match (a phone has no 2-digit middle
+    * group to offer the SSN pattern and vice versa).
+    */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9.]+@[a-z.]+[a-z]",
+    "phone" -> "\\d{3}-\\d{3}-\\d{4}",
+    "ssn" -> "\\d{3}-\\d{2}-\\d{4}")
+
+  /** PII scrubbing (d22): the redaction pass a training pipeline runs
+    * before tokenization — detect emails/phones/SSNs, count them, and
+    * replace each with a typed placeholder. The corpus text is PII-free by
+    * construction, so the surface plants deterministic id-derived PII into
+    * the `doc_id % 7 == 3` slice (1 or 2 emails + phone + SSN per planted
+    * doc) and then detects it GENUINELY with the regexes above — the
+    * oracle mirrors both the injection and the detection in SQL, so a
+    * regex-semantics divergence between engines fails the gate rather than
+    * hiding behind id arithmetic. Map-only: regex extraction + three
+    * chained global replaces per row, no shuffle except the sort; the
+    * scrubbed text itself never leaves the executors (only its md5 and
+    * length delta are emitted).
+    */
+  def d22PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val dec = (e: org.apache.spark.sql.Column) => e.cast("string")
+    val pii = concat(
+      lit(" contact u"), dec(id), lit("@mail.example"),
+      when(pmod(id, lit(2)) === 1,
+        concat(lit(" alt"), dec(id), lit("@mail.example"))).otherwise(lit("")),
+      lit(" phone 555-"), dec(lit(100) + pmod(id, lit(900))),
+      lit("-"), dec(lit(1000) + pmod(id, lit(9000))),
+      lit(" ssn "), dec(lit(100) + pmod(id, lit(900))),
+      lit("-"), dec(lit(10) + pmod(id, lit(90))),
+      lit("-"), dec(lit(1000) + pmod(id, lit(9000))))
+    val withPii = load(spark, dir, "documents")
+      .select(id, when(pmod(id, lit(7)) === 3, concat(col("text"), pii))
+        .otherwise(col("text")).as("t"))
+    val Seq(email, phone, ssn) = piiPatterns.map(_._2)
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("t"), email, "[EMAIL]"), phone, "[PHONE]"), ssn, "[SSN]")
+    withPii.select(
+      id,
+      size(regexp_extract_all(col("t"), lit(email), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(phone), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("t"), lit(ssn), lit(0))).cast("long").as("n_ssns"),
+      md5(scrubbed).as("scrubbed_hash"),
+      (length(col("t")) - length(scrubbed)).cast("long").as("chars_removed"))
+      .orderBy("doc_id")
+  }
 }

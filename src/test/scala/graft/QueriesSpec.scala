@@ -229,4 +229,39 @@ class QueriesSpec extends AnyFunSuite {
     // occur somewhere or the surface is vacuous
     assert(expected.exists(e => e._4 < e._3), "no doc has any repeated 2-gram")
   }
+
+  test("d22 PII scrub detects exactly the planted PII and scrubs it byte-identically") {
+    val pats = queries.DocumentsQ.piiPatterns.map { case (k, p) =>
+      k -> java.util.regex.Pattern.compile(p)
+    }.toMap
+    def countOf(p: java.util.regex.Pattern, s: String): Long = {
+      val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, text) =>
+      val t = if (id % 7 == 3) {
+        val alt = if (id % 2 == 1) s" alt$id@mail.example" else ""
+        text + s" contact u$id@mail.example$alt phone 555-${100 + id % 900}-" +
+          s"${1000 + id % 9000} ssn ${100 + id % 900}-${10 + id % 90}-${1000 + id % 9000}"
+      } else text
+      val sc = pats("ssn").matcher(pats("phone").matcher(pats("email").matcher(t)
+        .replaceAll("[EMAIL]")).replaceAll("[PHONE]")).replaceAll("[SSN]")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hash = md.digest(sc.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      (id, countOf(pats("email"), t), countOf(pats("phone"), t),
+        countOf(pats("ssn"), t), hash, (t.length - sc.length).toLong)
+    }.sortBy(_._1)
+    val got = queries.DocumentsQ.d22PiiScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(got.toSeq == expected.toSeq)
+    // the planted slice must be non-trivial and detection exact: 1 or 2
+    // emails + exactly one phone + one SSN per planted doc, zero elsewhere
+    val planted = expected.filter(_._1 % 7 == 3)
+    assert(planted.nonEmpty)
+    assert(planted.forall(e => (e._2 == 1 || e._2 == 2) && e._3 == 1 && e._4 == 1))
+    assert(expected.filterNot(_._1 % 7 == 3).forall(e => e._2 + e._3 + e._4 == 0))
+  }
 }
