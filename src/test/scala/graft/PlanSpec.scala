@@ -174,6 +174,18 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.isEmpty, "d21 must not join")
   }
 
+  test("d22 PII scrub is map-only: regex work stays in the scan stage, no text shuffled") {
+    val plan = executed(DocumentsQ.d22PiiScrub(spark, dir))
+    allNodes(plan).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+      val cols = s.child.output.map(_.name)
+      assert(!cols.contains("t") && !cols.contains("text"),
+        s"document text shuffled in a map-only scrub: $cols")
+      assert(s.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+        s"non-sort shuffle: ${s.outputPartitioning}")
+    }
+  }
+
   test("e08 SQ8 broadcasts stats and query codes; corpus scanned, never shuffled for joins") {
     val plan = executed(EmbeddingsQ.e08AnnSq8(spark, dir))
     val nested = allNodes(plan).collect { case b: BroadcastNestedLoopJoinExec => b }
