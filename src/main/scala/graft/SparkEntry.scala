@@ -60,6 +60,7 @@ object SparkEntry {
     "d20_holdout_split" -> (DocumentsQ.d20HoldoutSplit _),
     "d21_repetition_filter" -> (DocumentsQ.d21RepetitionFilter _),
     "d22_pii_scrub" -> (DocumentsQ.d22PiiScrub _),
+    "s07_session_window" -> (StreamingQ.s07SessionWindow _),
     // similarity search over embeddings
     "e01_norms" -> (EmbeddingsQ.e01Norms _),
     "e02_ann_bruteforce" -> (EmbeddingsQ.e02AnnBruteForce _),
@@ -412,6 +413,20 @@ object SparkEntry {
         "/ CAST(len(grams) AS DOUBLE), 6) END AS dup_2gram_frac, " +
         "(len(grams) - len(list_distinct(grams))) * 25 > len(grams) AS flagged_repetitive " +
         "FROM g ORDER BY doc_id"),
+    "s07_session_window" ->
+      ("WITH l AS (SELECT user_id, ts, event_id, " +
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "e AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM l), " +
+        "s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM e), " +
+        "g AS (SELECT user_id, MIN(ts) AS session_start, " +
+        "MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events " +
+        "FROM s GROUP BY user_id, sid) " +
+        "SELECT user_id, session_start, session_end, n_events FROM g " +
+        "WHERE session_end <= (SELECT make_timestamp((epoch_us(MAX(ts)) // 1000) * 1000 " +
+        "- 7200000000) FROM events) " +
+        "ORDER BY user_id, session_start"),
     "d22_pii_scrub" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || " +
         "' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example' || " +

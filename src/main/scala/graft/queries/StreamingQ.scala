@@ -244,4 +244,44 @@ object StreamingQ {
       .select(col("event_type"), col("n_above"), col("type_avg"))
       .orderBy("event_type")
   }
+
+  /** Session-window streaming aggregation (s07): per-user sessions with a
+    * 30-minute inactivity gap computed by Spark's native `session_window`
+    * under watermark + append mode — the bounded-state sessionization a
+    * clickstream pipeline runs continuously (a session's state is dropped
+    * and the row emitted once the watermark passes its end). Two exactness
+    * notes the oracle mirrors: (1) merge semantics are end-EXCLUSIVE — an
+    * event exactly 30 minutes after its predecessor starts a NEW session
+    * (`>= gap` in the oracle; q16's batch surface deliberately keeps the
+    * strict-> convention, a distinct operator); (2) Spark tracks event-time
+    * watermarks in MILLISECONDS, so with microsecond timestamps the cutoff
+    * is floor-to-ms(max ts) - 2h, not max ts - 2h — the oracle floors the
+    * same way. On the finite replay the tail sessions inside the horizon
+    * are withheld exactly as they would be mid-stream.
+    */
+  def s07SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val schema = load(spark, dir, "events").schema
+    val name = s"graft_stream_sw_${counter.incrementAndGet()}"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
 }

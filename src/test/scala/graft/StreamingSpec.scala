@@ -72,6 +72,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("s07 session windows match an independent sessionization (>= gap, ms-floored watermark)") {
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gapUs = 1800000000L
+    val cutoff = (evs.map(_._2).max / 1000L) * 1000L - 7200000000L
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = sorted.head._2; var last = start; var n = 0L
+      sorted.foreach { case (_, us, _) =>
+        if (n > 0 && us - last >= gapUs) {
+          sessions += ((start, last + gapUs, n)); start = us; n = 0L
+        }
+        last = us; n += 1
+      }
+      sessions += ((start, last + gapUs, n))
+      sessions.filter(_._2 <= cutoff).map(s => (uid, s._1, s._2, s._3))
+    }.sortBy(t => (t._1, t._2))
+    val got = queries.StreamingQ.s07SessionWindow(spark, dir)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    assert(expected.exists(_._4 >= 2), "no multi-event session — the gap merge is untested")
+  }
+
+  test("s07 sessions merge across micro-batches (split replay between in-session events)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // find a consecutive same-user pair under 30 min apart and split exactly
+    // between them: the session must be assembled from state across triggers
+    val pairs = ev.select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { rows =>
+        rows.map(_._2).sorted.sliding(2).collect {
+          case Array(a, b) if b - a < 1800000000L && b > a => (a, b)
+        }
+      }.toSeq
+    assert(pairs.nonEmpty, "no in-session event pair to straddle")
+    val (a, b) = pairs.head
+    val splitUs = a + (b - a) / 2
+    val tmp = java.nio.file.Files.createTempDirectory("s07split").toString
+    val usCol = unix_micros(col("ts").cast("timestamp"))
+    ev.filter(usCol <= splitUs).coalesce(1).write.parquet(s"$tmp/f1")
+    ev.filter(usCol > splitUs).coalesce(1).write.parquet(s"$tmp/f2")
+    // the file source replays oldest-mtime first; pin the order so f2 can
+    // never be processed before f1 (which would make f1's data late)
+    def touch(d: String, t: Long): Unit =
+      new java.io.File(d).listFiles().foreach(_.setLastModified(t))
+    touch(s"$tmp/f1", System.currentTimeMillis() - 60000)
+    touch(s"$tmp/f2", System.currentTimeMillis())
+    // one file per trigger, in mtime order: f1's batch puts the open session
+    // into state, f2's batch must MERGE into it, not start a fresh session
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/f*")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("graft_s07_split").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val split = spark.table("graft_s07_split")
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val whole = queries.StreamingQ.s07SessionWindow(spark, dir)
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(split.toSeq == whole.toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = queries.StreamingQ.s05StreamJoin(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
