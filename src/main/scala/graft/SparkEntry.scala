@@ -70,6 +70,7 @@ object SparkEntry {
     "e06_embedding_neardup" -> (EmbeddingsQ.e06EmbeddingNearDup _),
     "e07_ann_ivf" -> (EmbeddingsQ.e07AnnIvf _),
     "e08_ann_sq8" -> (EmbeddingsQ.e08AnnSq8 _),
+    "e09_ann_pq" -> (EmbeddingsQ.e09AnnPq _),
     // the extraction pipeline (north rule)
     "x01_spans" -> (ExtractionQ.x01Spans _),
     "x02_span_stats" -> (ExtractionQ.x02SpanStats _),
@@ -511,6 +512,28 @@ object SparkEntry {
         "(SELECT query_id, neighbor_id, cos_sq8, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sq8 DESC, neighbor_id) AS BIGINT) AS rank " +
         "FROM cs) WHERE rank <= 5 ORDER BY query_id, rank"),
+    "e09_ann_pq" ->
+      ("WITH cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
+        "sub AS (SELECT e.vec_id, ss.s, c.cid, " +
+        "list_sum([(CAST(e.embedding[ss.s*16 + i] AS DOUBLE) - CAST(c.cvec[ss.s*16 + i] AS DOUBLE)) " +
+        "* (CAST(e.embedding[ss.s*16 + i] AS DOUBLE) - CAST(c.cvec[ss.s*16 + i] AS DOUBLE)) " +
+        "FOR i IN range(1, 17)]) AS d " +
+        "FROM embeddings e, range(0, 4) ss(s), cb c), " +
+        "codes AS (SELECT vec_id, s, cid AS code FROM (SELECT vec_id, s, cid, d, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk FROM sub) WHERE rk = 1), " +
+        "rs AS (SELECT codes.vec_id, codes.s, " +
+        "list_slice(cb.cvec, codes.s*16 + 1, codes.s*16 + 16) AS rsub " +
+        "FROM codes JOIN cb ON cb.cid = codes.code), " +
+        "recon AS (SELECT vec_id, flatten(list(rsub ORDER BY s)) AS rvec FROM rs GROUP BY vec_id), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20), " +
+        "sc AS (SELECT q.query_id, r.vec_id AS neighbor_id, " +
+        "list_sum([(CAST(q.q_emb[i] AS DOUBLE) - CAST(r.rvec[i] AS DOUBLE)) " +
+        "* (CAST(q.q_emb[i] AS DOUBLE) - CAST(r.rvec[i] AS DOUBLE)) FOR i IN range(1, 65)]) AS approx_dist " +
+        "FROM recon r, q WHERE r.vec_id <> q.query_id) " +
+        "SELECT query_id, neighbor_id, approx_dist, rank FROM " +
+        "(SELECT query_id, neighbor_id, approx_dist, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank " +
+        "FROM sc) WHERE rank <= 5 ORDER BY query_id, rank"),
     "d06_minhash_lsh" ->
       ("SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b FROM documents " +
         "WHERE len(string_split_regex(trim(text), '\\s+')) >= 40 ORDER BY doc_a"),

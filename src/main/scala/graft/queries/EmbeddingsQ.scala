@@ -328,4 +328,66 @@ object EmbeddingsQ {
       .filter(col("rank") <= 5)
       .orderBy("query_id", "rank")
   }
+
+  /** Product-quantization ANN (e09): the FAISS PQ storage path — each
+    * 64-dim float vector is stored as m=4 one-byte codes (one per 16-dim
+    * subspace, k=16 centroids), a 64× compression over float32, and scored
+    * against the codebook reconstruction (one exact L2² per candidate over
+    * the reconstructed vector, dimension-sequential so the oracle replays
+    * it op-for-op). Codebooks are deterministically SEEDED — the first k
+    * corpus vectors' subvectors, a single assignment step with no Lloyd
+    * iterations and no RNG — so every number in the surface is exact
+    * float→double IEEE arithmetic both engines reproduce bit-identically;
+    * production would run k-means per subspace, which changes the codebook
+    * values, not the engine shape. Scale: the codebook is m·k subvectors
+    * (broadcast as a closure constant), encoding is map-only over the
+    * corpus scan, queries broadcast, per-query top-k windowed over 20
+    * partitions — the corpus never shuffles and only (vec_id, 4 codes)
+    * would persist in a real index.
+    */
+  def e09AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val sd = 16; val m = 4; val k = 16
+    val cents: Array[Array[Float]] = emb.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    // per-subspace argmin over the k centroids; strict < keeps the FIRST
+    // minimum, i.e. ties resolve to the lowest centroid id (the oracle's
+    // ROW_NUMBER ... ORDER BY d, cid mirrors this exactly)
+    val encodeUdf = udf { (e: Seq[Float]) =>
+      Array.tabulate(m) { s =>
+        var best = 0; var bestD = Double.MaxValue; var cid = 0
+        while (cid < k) {
+          var d = 0.0; var j = s * sd
+          while (j < (s + 1) * sd) {
+            val diff = e(j).toDouble - cents(cid)(j).toDouble; d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = cid }
+          cid += 1
+        }
+        best
+      }
+    }
+    // asymmetric-style scoring against the reconstruction, summed in
+    // dimension order (left-to-right, like float_vec_dot and list_sum)
+    val distUdf = udf { (q: Seq[Float], code: Seq[Int]) =>
+      var sum = 0.0; var j = 0
+      while (j < m * sd) {
+        val diff = q(j).toDouble - cents(code(j / sd))(j).toDouble
+        sum += diff * diff; j += 1
+      }
+      sum
+    }
+    val corpus = emb.select(col("vec_id"), encodeUdf(col("embedding")).as("code"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        distUdf(col("q_emb"), col("code")).as("approx_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+  }
 }

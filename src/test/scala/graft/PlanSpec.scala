@@ -186,6 +186,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e09 PQ broadcasts the query side; embeddings never shuffle (only slim score rows)") {
+    val plan = executed(EmbeddingsQ.e09AnnPq(spark, dir))
+    val bcast = allNodes(plan).collect {
+      case b: BroadcastNestedLoopJoinExec => b
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bcast.nonEmpty, s"query set not broadcast:\n$plan")
+    allNodes(plan).collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+      val cols = s.child.output.map(_.name)
+      assert(!cols.contains("embedding") && !cols.contains("q_emb"),
+        s"raw embeddings shuffled: $cols")
+    }
+  }
+
   test("e08 SQ8 broadcasts stats and query codes; corpus scanned, never shuffled for joins") {
     val plan = executed(EmbeddingsQ.e08AnnSq8(spark, dir))
     val nested = allNodes(plan).collect { case b: BroadcastNestedLoopJoinExec => b }

@@ -264,4 +264,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(planted.forall(e => (e._2 == 1 || e._2 == 2) && e._3 == 1 && e._4 == 1))
     assert(expected.filterNot(_._1 % 7 == 3).forall(e => e._2 + e._3 + e._4 == 0))
   }
+
+  test("e09 PQ matches an independent driver recomputation; seed vectors self-code") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val cents = vecs.take(16).map(_._2)
+    def code(e: Array[Float]): Array[Int] = Array.tabulate(4) { s =>
+      var best = 0; var bd = Double.MaxValue
+      for (cid <- 0 until 16) {
+        var d = 0.0; var j = s * 16
+        while (j < (s + 1) * 16) {
+          val diff = e(j).toDouble - cents(cid)(j).toDouble; d += diff * diff; j += 1
+        }
+        if (d < bd) { bd = d; best = cid }
+      }
+      best
+    }
+    // each seed vector's nearest centroid in every subspace is itself
+    (0 until 16).foreach(i => assert(code(vecs(i)._2).forall(_ == i)))
+    def dist(q: Array[Float], c: Array[Int]): Double = {
+      var s = 0.0; var j = 0
+      while (j < 64) {
+        val diff = q(j).toDouble - cents(c(j / 16))(j).toDouble; s += diff * diff; j += 1
+      }
+      s
+    }
+    val codes = vecs.map { case (id, e) => id -> code(e) }.toMap
+    val expected = vecs.filter(_._1 < 20).flatMap { case (qid, q) =>
+      vecs.filter(_._1 != qid)
+        .map { case (nid, _) => (qid, nid, dist(q, codes(nid))) }
+        .sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((a, b, d), i) => (a, b, d, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._4))
+    val got = queries.EmbeddingsQ.e09AnnPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
 }
