@@ -866,6 +866,32 @@ object OracleX {
     "(brightness > 200.0 AND contrast < 40.0) AS is_washed_out " +
     "FROM q ORDER BY doc_id, media_ref"
 
+  /** x33 mirror — 2×2 box downsample over the same re-derived pixels as
+    * x29: block sums are exact integers; the resized brightness divides by
+    * 1024 then 4 and the full-resolution mean by 4096 — the same integer
+    * scaled by powers of two, so `mean_preserved` compares two exactly
+    * equal doubles in both engines.
+    */
+  val x33: String = recon() +
+    s", m AS (SELECT id, did, unnest($mediaNums) AS x FROM recon), " +
+    "px AS (SELECT did, x.s AS s, x.i AS i, rr.r AS r, cc.c AS c, " +
+    "CAST(CASE WHEN rr.r < 32 AND rr.r % 8 >= 4 AND rr.r % 8 <= 6 AND (x.s + cc.c) % 7 <> 0 " +
+    "THEN 20 + (x.s * cc.c + x.i * rr.r) % 30 " +
+    "WHEN rr.r >= 32 AND len([k FOR k IN range(0, 12) " +
+    "IF 32 + (x.s*13 + x.i*7 + k*31) % 32 = rr.r AND (x.s*17 + x.i*11 + k*43) % 64 = cc.c]) > 0 " +
+    "THEN 10 ELSE 235 END AS BIGINT) AS v " +
+    "FROM m, range(0, 64) rr(r), range(0, 64) cc(c)), " +
+    "ds AS (SELECT did, s, i, r // 2 AS br, c // 2 AS bc, SUM(v) AS sv " +
+    "FROM px GROUP BY 1, 2, 3, 4, 5), " +
+    "agg AS (SELECT did, s, i, SUM(sv) AS s1, SUM(sv * sv) AS s2 FROM ds GROUP BY 1, 2, 3), " +
+    "q AS (SELECT did, s, i, CAST(s1 AS DOUBLE) / 1024.0 / 4.0 AS b, " +
+    "CAST(s2 AS DOUBLE) / 1024.0 / 16.0 AS e2, CAST(s1 AS DOUBLE) / 4096.0 AS bfull FROM agg) " +
+    "SELECT did AS doc_id, " +
+    "'s3://graft-corpus/media/' || CAST(s AS VARCHAR) || '/' || did || '_' || CAST(i AS VARCHAR) || '.png' AS media_ref, " +
+    "CAST(32 AS INTEGER) AS out_w, CAST(32 AS INTEGER) AS out_h, " +
+    "b AS brightness_ds, sqrt(e2 - b * b) AS contrast_ds, b = bfull AS mean_preserved " +
+    "FROM q ORDER BY doc_id, media_ref"
+
   // ---- A/B testing (x30) + regression ladder (x31) mirrors ----
 
   /** Shared strategy-profile expressions for x30/x31 (ExtractionQ
@@ -1027,5 +1053,6 @@ object OracleX {
     "x10_code_validation" -> x10, "x11_calibration" -> x11,
     "x12_media_pipeline" -> x12, "x13_routing" -> x13,
     "x26_review_queue" -> x26, "x27_span_provenance" -> x27,
-    "x28_consolidated" -> x28, "x29_decoded_quality" -> x29)
+    "x28_consolidated" -> x28, "x29_decoded_quality" -> x29,
+    "x33_resized_stats" -> x33)
 }

@@ -104,6 +104,7 @@ object SparkEntry {
     "x30_ab_test" -> (ExtractionQ.x30AbTest _),
     "x31_regression_ladder" -> (ExtractionQ.x31RegressionLadder _),
     "x32_schema_versioning" -> (ExtractionQ.x32SchemaVersioning _),
+    "x33_resized_stats" -> (ExtractionQ.x33ResizedStats _),
     "d16_length_quantiles" -> (DocumentsQ.d16LengthQuantiles _),
     // streaming
     "s01_stream_hourly" -> (StreamingQ.s01StreamHourly _),

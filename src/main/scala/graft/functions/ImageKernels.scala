@@ -630,6 +630,42 @@ object ImageKernels {
     PixelQuality(mean, contrast, lSq.toDouble / n - lMean * lMean)
   }
 
+  /** Downsample statistics for a 2×2 box-filter resize. */
+  final case class ResizeStats(width: Int, height: Int,
+      brightness: Double, contrast: Double)
+
+  /** 2×2 box-filter downsample statistics, kept in the exact integer domain
+    * (the resize step of the reference's thumbnail/preview path,
+    * image_enhancer.py resize contract; cv2.INTER_AREA at factor 2 IS the
+    * 2×2 box mean). Each output cell is the SUM of its 2×2 block (0..1020);
+    * all statistics divide once, at the end, by power-of-two pixel counts,
+    * so brightness/contrast of the resized image are bit-exact and the box
+    * filter's mean-preservation property (mean_out == mean_in, exactly, in
+    * floating point — both are the same integer scaled by a power of two)
+    * is machine-checkable rather than approximate.
+    */
+  def downsampleStats2(img: Gray): ResizeStats = {
+    require(img.width % 2 == 0 && img.height % 2 == 0,
+      "box downsample expects even dimensions")
+    val w2 = img.width / 2; val h2 = img.height / 2
+    var s1 = 0L; var s2 = 0L
+    var r = 0
+    while (r < h2) {
+      var c = 0
+      while (c < w2) {
+        val s = img(2 * r, 2 * c) + img(2 * r, 2 * c + 1) +
+          img(2 * r + 1, 2 * c) + img(2 * r + 1, 2 * c + 1)
+        s1 += s; s2 += s.toLong * s
+        c += 1
+      }
+      r += 1
+    }
+    val n = (w2 * h2).toDouble
+    val mean = s1.toDouble / n / 4.0
+    val ex2 = s2.toDouble / n / 16.0
+    ResizeStats(w2, h2, mean, math.sqrt(ex2 - mean * mean))
+  }
+
   /** Mode-dispatched enhancement executor for the x05 plan strings
     * (image_enhancer.py:195-298 mode selection) — every step is now a real
     * kernel: deskew (projection-profile angle + expanded-canvas rotate),

@@ -967,6 +967,39 @@ object ExtractionQ {
       .orderBy("doc_id", "media_ref")
   }
 
+  /** Resized-media statistics (x33): the RESIZE step of the multimodal
+    * pipeline — every figure blob is decoded (real PNG, as x29) and
+    * 2×2 box-downsampled 64→32 in the exact integer domain
+    * (cv2.INTER_AREA at factor 2 is the 2×2 box mean). Output is the
+    * resized image's brightness/contrast plus a genuinely computed
+    * `mean_preserved` flag (a box filter preserves the mean EXACTLY, even
+    * in floating point, because both means are the same integer scaled by
+    * a power of two — the flag compares the doubles directly and the
+    * oracle re-derives the same comparison). Map-only over figure spans,
+    * per-partition codec reuse, blobs never shuffle — same 100 TB shape
+    * as x29.
+    */
+  def x33ResizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    extracted(spark, dir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === SpanKind.Figure)
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (docId, ref) =>
+        val (s, i) = SpanTokenizer.refNums(ref)
+        val img = ImageKernels.decodePng(DocGen.mediaPngBytes(s, i))
+        val rs = ImageKernels.downsampleStats2(img)
+        val q = ImageKernels.qualityOf(img)
+        (docId, ref, rs.width, rs.height, rs.brightness, rs.contrast,
+          rs.brightness == q.brightness)
+      })
+      .toDF("doc_id", "media_ref", "out_w", "out_h",
+        "brightness_ds", "contrast_ds", "mean_preserved")
+      .orderBy("doc_id", "media_ref")
+  }
+
   /** Per-span provenance surface (provenance.py:66-171): every extracted
     * span carries (page, normalized bbox, source_block_id, extraction_path)
     * from the kernel — the audit/replay leaf a downstream exporter renders

@@ -179,4 +179,32 @@ class ImageKernelsSpec extends AnyFunSuite {
       "deskew+otsu+open+despeckle")
     assert(out.px.sameElements(again.px))
   }
+
+  test("2x2 box downsample: hand-computed 4x4 case, exact mean preservation on pages") {
+    // hand case: blocks sum to 10, 18, 26, 42 -> means 2.5, 4.5, 6.5, 10.5
+    val img = ImageKernels.Gray(4, 4, Array(
+      1, 2, 5, 4,
+      3, 4, 4, 5,
+      5, 6, 10, 11,
+      7, 8, 10, 11))
+    val rs = ImageKernels.downsampleStats2(img)
+    assert(rs.width == 2 && rs.height == 2)
+    val means = Seq(10, 18, 26, 42).map(_ / 4.0)
+    val exp = means.sum / 4.0
+    assert(rs.brightness == exp)
+    val ex2 = means.map(m => m * m).sum / 4.0
+    assert(rs.contrast == math.sqrt(ex2 - exp * exp))
+    // mean preservation is EXACT (same integer scaled by powers of two),
+    // on the hand case and on real synthetic pages through the PNG codec
+    assert(rs.brightness == ImageKernels.qualityOf(img).brightness)
+    for (s <- 0 until 3; i <- 0 until 2) {
+      val page = ImageKernels.decodePng(
+        graft.tokenize.DocGen.mediaPngBytes(s, i))
+      val d = ImageKernels.downsampleStats2(page)
+      assert(d.brightness == ImageKernels.qualityOf(page).brightness,
+        s"box filter must preserve the mean exactly (s=$s i=$i)")
+      assert(d.contrast <= ImageKernels.qualityOf(page).contrast,
+        "averaging can only reduce variance")
+    }
+  }
 }
