@@ -634,10 +634,15 @@ object ImageKernels {
   final case class ResizeStats(width: Int, height: Int,
       brightness: Double, contrast: Double)
 
-  /** 2×2 box-filter downsample statistics, kept in the exact integer domain
-    * (the resize step of the reference's thumbnail/preview path,
-    * image_enhancer.py resize contract; cv2.INTER_AREA at factor 2 IS the
-    * 2×2 box mean). Each output cell is the SUM of its 2×2 block (0..1020);
+  /** 2×2 box-filter downsample statistics, kept in the exact integer domain.
+    * The reference caps page renders at max_dimension and downscales with
+    * PIL LANCZOS (src/preprocessing/image_processor.py:143-149, and
+    * `_resize_image` :594-613 before VLM dispatch); the operator here is the
+    * same decode→downscale→stats step with a 2×2 box kernel (cv2.INTER_AREA
+    * at factor 2 IS the 2×2 box mean) — chosen because it is exactly
+    * representable in integer arithmetic, so the surface can be oracled
+    * bit-exactly; LANCZOS changes the filter taps, not the pipeline shape.
+    * Each output cell is the SUM of its 2×2 block (0..1020);
     * all statistics divide once, at the end, by power-of-two pixel counts,
     * so brightness/contrast of the resized image are bit-exact and the box
     * filter's mean-preservation property (mean_out == mean_in, exactly, in

@@ -968,9 +968,12 @@ object ExtractionQ {
   }
 
   /** Resized-media statistics (x33): the RESIZE step of the multimodal
-    * pipeline — every figure blob is decoded (real PNG, as x29) and
-    * 2×2 box-downsampled 64→32 in the exact integer domain
-    * (cv2.INTER_AREA at factor 2 is the 2×2 box mean). Output is the
+    * pipeline (src/preprocessing/image_processor.py:143-149 max-dimension
+    * downscale; `_resize_image` :594-613 before VLM dispatch) — every
+    * figure blob is decoded (real PNG, as x29) and 2×2 box-downsampled
+    * 64→32 in the exact integer domain (cv2.INTER_AREA at factor 2 is the
+    * 2×2 box mean; the reference's LANCZOS changes filter taps, not the
+    * decode→downscale→stats shape). Output is the
     * resized image's brightness/contrast plus a genuinely computed
     * `mean_preserved` flag (a box filter preserves the mean EXACTLY, even
     * in floating point, because both means are the same integer scaled by
