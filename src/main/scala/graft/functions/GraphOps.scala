@@ -46,6 +46,8 @@ object GraphOps {
     var labels = nodes.select(col("node"), col("node").as("component_id"))
       .persist()
     labels.count() // materialize before the loop so unpersist bookkeeping is uniform
+    // the frame actually held in the cache (labels may be a projection of it)
+    var cached = labels
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -54,16 +56,19 @@ object GraphOps {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(min("component_id").as("nbr_min"))
+      // carry the previous label through the join so the early-stop check
+      // is a filter+count on the persisted frame, not a second join back
+      // onto the label table (one shuffle per round instead of two)
       var next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("component_id").as("prev"),
           least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
             .as("component_id"))
       if ((iter + 1) % checkpointEvery == 0) next = next.localCheckpoint()
       next = next.persist()
-      changed = next.join(labels.withColumnRenamed("component_id", "prev"), "node")
-        .filter(col("component_id") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("component_id") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("component_id"))
       iter += 1
     }
     sym.unpersist()
