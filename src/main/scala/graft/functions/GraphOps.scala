@@ -72,7 +72,15 @@ object GraphOps {
       iter += 1
     }
     sym.unpersist()
-    labels
+    // Hand back a frame that is materialized but NOT registered in the
+    // CacheManager: returning the persisted `labels` leaked one cached
+    // DataFrame per call for the session lifetime (the caller has no way to
+    // unpersist it). localCheckpoint is eager — the copy costs one pass over
+    // the already-cached labels — and its blocks are reclaimed by the
+    // ContextCleaner once the result is dropped.
+    val out = labels.localCheckpoint()
+    cached.unpersist()
+    out
   }
 
   /** Component summary + representative selection: per node, its component,

@@ -157,8 +157,21 @@ object DocumentsQ {
     * band-bucket equi-join (hot buckets capped) -> distinct pairs ->
     * signature-estimated Jaccard gate. Shuffles only (doc_id, band) pairs —
     * signatures rejoin after dedup. Shared by d06 and d17.
+    *
+    * The signature frame is materialized ONCE up front (guide §1.2/§2.3:
+    * don't recompute what you can keep): it is referenced by both sides of
+    * the band self-join, by the hot-bucket count, and by the two signature
+    * rejoins — six subtree references in total, and without materialization
+    * Catalyst duplicates the whole sketch pipeline (the minhash UDF over the
+    * full corpus) into every one of them (the round-5 d06 plan carried 24
+    * parquet scans of `documents` for this reason). `localCheckpoint` is
+    * eager, block-backed and reclaimed by the ContextCleaner when the frame
+    * is dropped, so repeated bench passes don't accumulate cache entries.
+    * At 100 TB the materialized side is (doc_id, 64 longs) — ~0.05% of the
+    * corpus bytes — and the sketch pass runs exactly once.
     */
-  private def minhashPairs(sigs: DataFrame): DataFrame = {
+  private def minhashPairs(sigsIn: DataFrame): DataFrame = {
+    val sigs = sigsIn.localCheckpoint()
     val bands = capBuckets(sigs.select(col("doc_id"),
       posexplode(bandsUdf(col("sig"))).as(Seq("band_idx", "band_key"))),
       Seq("band_idx", "band_key"))
@@ -230,9 +243,13 @@ object DocumentsQ {
     val fam = minhashChainVariants(spark, dir)
     val sigs = fam.withColumn("sig", minhashUdf(col("text")))
       .select(col("doc_id"), col("sig"))
+    // edges materialized before clustering: connectedComponents references
+    // its edge input twice (the symmetrizing union) — without this the whole
+    // LSH candidate pipeline would run twice before the first round starts
     val edges = minhashPairs(sigs)
       .filter(col("doc_b") === col("doc_a") + 10000000L)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
     val labels = graft.functions.GraphOps.connectedComponents(
       fam.select(col("doc_id").as("node")), edges, maxIter = 6)
     graft.functions.GraphOps.componentSummary(labels)
@@ -265,9 +282,14 @@ object DocumentsQ {
     * from incidental base-base near-dups (spec-pinned).
     */
   def d07SimhashAll(spark: SparkSession, dir: String): DataFrame = {
+    // (doc_id, sim) materialized once — the simhash UDF tokenizes the full
+    // corpus, and this frame is referenced four times below (hot-bucket
+    // count, capped join-back, and both sides of the chunk self-join); see
+    // the minhashPairs materialization note. 16 bytes/row at any scale.
     val sigs = simhashVariants(spark, dir)
       .withColumn("sim", simhashUdf(col("text")))
       .select(col("doc_id"), col("sim"))
+      .localCheckpoint()
     val chunks = capBuckets(sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -281,8 +303,11 @@ object DocumentsQ {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so gating BEFORE the dedup
+      // shuffle is result-identical and shuffles only surviving candidates
+      // (guide §2.3: shuffle fewer bytes)
       .filter(col("hamming") <= 12)
+      .distinct()
       .withColumn("planted", col("doc_b") === col("doc_a") + 10000000L)
   }
 
@@ -479,10 +504,17 @@ object DocumentsQ {
     */
   def d19Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val w = split(trim(col("text")), "\\s+")
+    // Tokenize ONCE into a materialized column and shingle over the
+    // attribute: with `split` inlined into the transform lambda, Catalyst
+    // re-evaluates the full regex tokenization for EVERY shingle — O(n²)
+    // re-tokenization per document (the round-5 plan showed split(trim(text))
+    // inside the per-element lambda). The Project boundary keeps it one
+    // split per row; the shingle expressions then only slice the array.
+    val words = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val w = col("w")
     // docs under 13 words have no 13-grams; filter BEFORE the sequence so
     // sequence(1, n) never sees n <= 0 (Spark would emit a DESCENDING range)
-    val shingled = docs.filter(size(w) >= 13)
+    val shingled = words.filter(size(w) >= 13)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), size(w) - 12),
@@ -546,12 +578,15 @@ object DocumentsQ {
     * the operator shape is identical at any cut.)
     */
   def d21RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val w = split(trim(lower(col("text"))), "\\s+")
+    // tokenize once into an attribute (see d19): `split` inlined into the
+    // transform lambda re-tokenizes the document per 2-gram — O(n²) per row
+    val w = col("w")
     // size(w) < 2 would hand sequence() a descending range — guard first
     val grams = when(size(w) >= 2,
       transform(sequence(lit(1), size(w) - 1), i => concat_ws(" ", slice(w, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
     load(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .select(col("doc_id"), size(w).cast("long").as("n_words"), grams.as("grams"))
       .select(col("doc_id"), col("n_words"),
         size(col("grams")).cast("long").as("n_2grams"),

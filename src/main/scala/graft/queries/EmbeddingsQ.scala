@@ -314,6 +314,12 @@ object EmbeddingsQ {
         (d, r) => when(r === 0d, lit(0L))
           .otherwise(least(floor(d * lit(255.0) / r), lit(255.0)).cast("long"))))
       .select(col("vec_id"), col("qv"))
+      // materialized once: `quant` feeds both the broadcast query side and
+      // the scoring scan — without this the per-dim stats aggregation and
+      // the quantization pass run twice (guide §1.2: don't recompute).
+      // (vec_id, 64 int8-valued longs) per row, eagerly computed, blocks
+      // reclaimed when the frame is dropped.
+      .localCheckpoint()
     val qs = quant.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
     val scored = quant.join(broadcast(qs), col("vec_id") =!= col("query_id"))

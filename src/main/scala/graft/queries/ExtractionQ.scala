@@ -341,7 +341,14 @@ object ExtractionQ {
     import graft.pipeline.ReviewSink
     // The dir must outlive this call (the returned DataFrame reads it
     // lazily), so cleanup is deferred to JVM exit rather than leaked.
-    val outPath = java.nio.file.Files.createTempDirectory("graft_review")
+    // tmpfs when available: the queue write + read-back otherwise lands on
+    // the shared system disk (same per-executor-storage rationale as
+    // Bench.tmpBase and the streaming checkpoint root).
+    val shm = new java.io.File("/dev/shm")
+    val outPath =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "graft_review")
+      else java.nio.file.Files.createTempDirectory("graft_review")
     tempDirHook
     tempDirs.add(outPath.toFile)
     val out = outPath.toString

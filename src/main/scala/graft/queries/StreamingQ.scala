@@ -15,6 +15,57 @@ object StreamingQ {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Streaming checkpoint root on tmpfs when available. Without an explicit
+    * location every stateful query checkpoints its offset/commit logs and
+    * per-partition state-store deltas to a temp dir on the shared system
+    * disk — with 32 shuffle partitions a single replayed micro-batch
+    * performs hundreds of small synchronous writes+renames there, and that
+    * disk I/O (not the join/aggregation) dominated the replay harness's
+    * wall-clock in round 5. tmpfs models per-executor local storage exactly
+    * as the bench's scaling corpus does (Bench.tmpBase rationale); on a real
+    * cluster the checkpoint lives on each executor's local disk + a durable
+    * store, both of which scale with the cluster.
+    */
+  private lazy val ckptBase: java.nio.file.Path = {
+    val shm = new java.io.File("/dev/shm")
+    val root =
+      if (shm.isDirectory && shm.canWrite) new java.io.File(shm, "graft-stream-ckpt")
+      else new java.io.File(System.getProperty("java.io.tmpdir"), "graft-stream-ckpt")
+    root.mkdirs()
+    root.toPath
+  }
+
+  /** Run `f` with a fresh checkpoint dir; the dir is deleted afterwards (the
+    * memory sink holds the results in the driver, so nothing outlives it).
+    */
+  private def withCkpt[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(ckptBase, "q")
+    try f(dir.toString)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  /** State-partition sizing for the replayed stream (guide §2.2 — fewer,
+    * larger partitions — applied to state stores). Every stateful operator
+    * instantiates one state store PER shuffle partition PER batch, and each
+    * store pays fixed open/commit/delta-write costs; at the replay's state
+    * volume (~10⁵ rows) those fixed costs dominate the row work, so sizing
+    * partitions to the session core count (32) made every stateful query
+    * 1.5-2x slower than 8 partitions (measured A/B on the s05 join: 12.7s @
+    * 32, 10.1s @ 16, 7.0s @ 8, 7.8s @ 4 — batch-1's no-data eviction pass
+    * alone dropped 3.5s -> 0.9s). Partition count does not affect any
+    * result: state operators are key-partitioned and the watermark is
+    * global. On a real cluster size this to keep per-store state in the
+    * 10⁴-10⁶-row band (SPARK_GRAFT_STREAM_SHUFFLE overrides). The session
+    * value is restored after the stream finishes — batch queries planned
+    * later are untouched.
+    */
+  private def withStateParts[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Hourly tumbling-window counts computed by a streaming query; returns the
     * final (complete-mode) result as a batch DataFrame. Batch twin: q17.
     *
@@ -34,13 +85,16 @@ object StreamingQ {
       .parquet(dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dbl(sum(dec(col("value")))).as("sum_value"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) { withCkpt { ckpt =>
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
     spark.table(name)
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
@@ -65,13 +119,16 @@ object StreamingQ {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) { withCkpt { ckpt =>
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
     spark.table(name)
       .select(col("window.start").as("hour"), col("event_type"), col("n"))
       .orderBy("hour", "event_type")
@@ -105,13 +162,16 @@ object StreamingQ {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) { withCkpt { ckpt =>
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
     spark.table(name)
       .select(col("window.start").as("hour"), col("event_type"), col("n"))
       .orderBy("hour", "event_type")
@@ -155,13 +215,16 @@ object StreamingQ {
         state.update((n, bestTs, bestId, bestType))
         (uid, n, bestType)
       }
-    val q = updated.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) { withCkpt { ckpt =>
+      val q = updated.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
     spark.table(name).toDF("user_id", "n_events", "last_event_type")
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
@@ -199,13 +262,16 @@ object StreamingQ {
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) { withCkpt { ckpt =>
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
     spark.table(name)
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
       .orderBy("click_id", "purchase_id")
@@ -231,13 +297,16 @@ object StreamingQ {
       .parquet(dir)
       .join(broadcast(typeStats), "event_type")
       .filter(col("value") > col("type_avg"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) { withCkpt { ckpt =>
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
     spark.table(name)
       .groupBy(col("event_type"), col("type_avg"))
       .agg(count(lit(1)).as("n_above"))
@@ -270,13 +339,16 @@ object StreamingQ {
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStateParts(spark) { withCkpt { ckpt =>
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } }
     spark.table(name)
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
