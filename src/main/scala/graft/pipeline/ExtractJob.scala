@@ -69,6 +69,33 @@ object ExtractJob {
       groupSize: Int = 8,
       heavyWeight: Long = 5000000L,
       saltMod: Int = 64,
+      // Heavy-branch relocation fan-out: heavy docs are spread over
+      // (shuffle partitions x heavyFanout) PINNED partitions
+      // (REPARTITION_BY_NUM, not AQE-coalescible) so a kernel+write task
+      // carries ~1 mega-doc. The relocation shuffle is kept unconditionally:
+      // a scan-side-only heavy branch was A/B'd in round 6 (same corpus,
+      // same window) and lost ~30% at c16 — without relocation each heavy
+      // scan split still funnels its ~20+ megas through one encode task.
+      // Sized so hash collisions stay rare at the expected mega density
+      // without paying thousands of empty task launches per group.
+      heavyFanout: Int = 8,
+      // Salted light-branch shuffle, OFF by default (round-6 measurement):
+      // with heavy docs isolated onto their own partitions, the remaining
+      // light work is byte-proportional and parquet scan splits are already
+      // byte-balanced (maxPartitionBytes packing), so the salt shuffle
+      // moved the full corpus bytes through a shuffle for no balance gain —
+      // removing it cut the c16 skew leg ~9% and left c4 unchanged (A/B in
+      // OPTIMIZATION_r06.md). Turn back on for sources whose per-row WORK
+      // is not byte-proportional (then byte-balanced splits are not
+      // work-balanced and the salt spread earns its shuffle).
+      saltLight: Boolean = false,
+      // Output writer options. Dictionary encoding is disabled by default:
+      // extracted span text is high-cardinality, so the dictionary pass
+      // burns encoder CPU and memory only to overflow and fall back —
+      // measured +13% on the 16-core skew leg with no c4 change (guide §6;
+      // snappy page compression still applies).
+      writeOptions: Map[String, String] =
+        Map("parquet.enable.dictionary" -> "false"),
       tokenizer: SpanTokenizer.Config = SpanTokenizer.default,
       runId: String = "run",
       // test hook: simulate a crash after N commit groups
@@ -169,10 +196,14 @@ object ExtractJob {
     // array once more per row; `aggregate` over the struct column and a
     // string-only UDF stay on the columnar path
     val bucketUdf = udf((id: String) => bucketOf(id, nB))
+    // octet_length, not length: byte count is O(1) on the UTF8 payload while
+    // character count rescans every byte, and the weight is a routing
+    // heuristic — bytes are, if anything, the truer cost proxy (threshold
+    // docs above updated to bytes).
     val keyed = docs.toDF()
       .withColumn("weight", aggregate(col("spans"), lit(0L), (acc, s) =>
-        acc + length(s.getField("text")).cast("long") +
-          length(s.getField("media_ref")).cast("long")))
+        acc + octet_length(s.getField("text")).cast("long") +
+          octet_length(s.getField("media_ref")).cast("long")))
       .withColumn("bucket", bucketUdf(col("doc_id")))
 
     val groups = remaining.grouped(cfg.groupSize).toSeq
@@ -193,11 +224,32 @@ object ExtractJob {
         // its own partition. The two branches are two scans of the input; on
         // the production table the weight predicate pushes into row-group
         // stats (cluster by weight at ingest), so the heavy scan is ~free.
-        val light = inGroup.filter(col("weight") < heavy)
-          .repartition(col("bucket"),
-            pmod(xxhash64(col("doc_id")), lit(cfg.saltMod)))
+        //
+        // The heavy repartition PINS its partition count (round-6 fix). A
+        // column-only repartition is an AQE-coalescible shuffle
+        // (REPARTITION_BY_COL), and AQE's byte-targeted coalescing was
+        // silently undoing this whole layout: measured on the skewed bench
+        // corpus at local[16] x 4 waves, the heavy branch's 64 partitions
+        // coalesced to SIX carrying 14-25 mega-docs EACH — the exact
+        // all-megas-through-one-task funnel the isolation exists to prevent,
+        // and the write-stage wall behind the sub-0.8 skew scaling readings
+        // of rounds 3-5. Pinned at `shuffle.partitions x heavyFanout`, each
+        // mega lands alone in its own kernel+write task (an empty heavy
+        // partition costs a no-op task launch). The light branch skips the
+        // shuffle entirely by default (see Config.saltLight): scan splits
+        // are byte-balanced, which IS the balance the salt bought, minus a
+        // full corpus pass through the shuffle machinery. AQE still
+        // coalesces every other shuffle in the job (metrics aggregation,
+        // the opt-in salted path).
+        val spNum = spark.sessionState.conf.numShufflePartitions
+        val lightRaw = inGroup.filter(col("weight") < heavy)
+        val light =
+          if (cfg.saltLight)
+            lightRaw.repartition(spNum, col("bucket"),
+              pmod(xxhash64(col("doc_id")), lit(cfg.saltMod)))
+          else lightRaw
         val heavyDs = inGroup.filter(col("weight") >= heavy)
-          .repartition(col("doc_id"))
+          .repartition(spNum * cfg.heavyFanout, col("doc_id"))
         // heavy partitions FIRST: union concatenates partition lists and
         // Spark schedules tasks in partition order — longest-processing-
         // time-first lets the mega-doc tasks run while light tasks pack
@@ -215,7 +267,8 @@ object ExtractJob {
 
         val gname = group.mkString("-")
         val tmp = Paths.get(outDir, s".tmp-group-$gname")
-        extracted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        extracted.write.options(cfg.writeOptions)
+          .mode(SaveMode.Overwrite).parquet(tmp.toString)
         val target = Paths.get(outDir, "data", s"group=$gname")
         Files.createDirectories(target.getParent)
         deleteRecursively(target) // stale uncommitted dir from a crashed run
@@ -223,8 +276,11 @@ object ExtractJob {
 
         // metric rows at (bucket, partition) granularity — the per-partition
         // lineage record written alongside each commit; reads ONLY this
-        // group's files
-        val metrics = spark.read.parquet(target.toString)
+        // group's files. The read pins the just-written schema explicitly:
+        // schema inference otherwise merges footers across every output
+        // file, a driver-side fixed cost that grows with the task count and
+        // eats into the faster leg's scaling (Amdahl).
+        val metrics = spark.read.schema(extracted.schema).parquet(target.toString)
           .groupBy(col("bucket"), col("partition_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_spans")).as("n_spans"),
             sum(col("n_errors")).as("n_errors"))
