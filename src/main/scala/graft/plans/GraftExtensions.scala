@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatVecDot, WsTokenCount}
+import graft.functions.{FloatVecDot, PqDist, Sq8Cos, WsTokenCount}
 
 /** Production wiring for the native expression library:
   *
@@ -26,5 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_dist"),
+      new ExpressionInfo(classOf[PqDist].getName, "pq_dist"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqDist(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_cos"),
+      new ExpressionInfo(classOf[Sq8Cos].getName, "sq8_cos"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Sq8Cos(exprs.head, exprs(1))))
   }
 }

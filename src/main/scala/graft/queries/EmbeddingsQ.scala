@@ -100,10 +100,15 @@ object EmbeddingsQ {
     */
   def e03AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     // norms computed ONCE per side before the join (as e02/e04/e06 do) —
-    // inside the scored select they'd be re-evaluated per candidate pair
+    // inside the scored select they'd be re-evaluated per candidate pair.
+    // The bucketed frame is materialized: it feeds both the corpus side and
+    // the query-probe side, and materialization keeps the signature UDF at
+    // one evaluation per row (the optimizer otherwise duplicates it into
+    // each branch and can relocate it above the join — guide §4.4).
     val emb = load(spark, dir, "embeddings")
       .withColumn("bucket", lshSigUdf(col("embedding")))
       .withColumn("e_norm", norm(spark, col("embedding")))
+      .localCheckpoint()
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"), col("e_norm").as("q_norm"))
@@ -181,9 +186,13 @@ object EmbeddingsQ {
   def e06EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val dups = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    // materialized once — referenced by BOTH sides of the bucket self-join
+    // (see the e03 note; without it the 16-bit signature UDF runs twice per
+    // row and can migrate into the join)
     val corpus = emb.unionByName(dups)
       .withColumn("bucket", dedupSigUdf(col("embedding")))
       .withColumn("e_norm", norm(spark, col("embedding")))
+      .localCheckpoint()
     val left = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("e_norm").as("norm_a"), col("bucket"))
     val right = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
@@ -230,8 +239,11 @@ object EmbeddingsQ {
     }
     val cellUdf = udf { (e: Seq[Float]) => dists(e).minBy(identity)._2 }
     val probesUdf = udf { (e: Seq[Float]) => dists(e).sorted.take(2).map(_._2) }
+    // materialized once — the cell assignment feeds the corpus scan, the
+    // query branch AND the equi-join key (see the e03 note)
     val corpus = emb.withColumn("cell", cellUdf(col("embedding")))
       .withColumn("e_norm", norm(spark, col("embedding")))
+      .localCheckpoint()
     val queries = corpus.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("e_norm").as("q_norm"),
@@ -265,21 +277,11 @@ object EmbeddingsQ {
       .orderBy("label")
   }
 
-  /** One-pass quantized cosine components: (dot, ||a||², ||b||²) as exact
-    * Long sums over the int8 codes — deterministic at any parallelism, and
-    * byte-for-byte mirrorable by DuckDB BIGINT list arithmetic.
-    */
-  private val sq8ScoreUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var dt = 0L; var na = 0L; var nb = 0L
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i); val y = b(i)
-      dt += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    (dt, na, nb)
-  }
+  // One-pass quantized cosine: exact Long sums over the int8 codes then one
+  // final double divide/sqrt, as the codegen'd `sq8_cos` native expression
+  // (graft.functions.Sq8Cos — round 6; the former two-ARRAY<BIGINT>-argument
+  // Scala UDF paid ~40µs/call in argument conversion alone, which dominated
+  // the scoring join). Values bit-identical; DuckDB oracle unchanged.
 
   /** Scalar-quantized (SQ8) ANN: per-dimension min/max over the corpus
     * give a 256-level code per component — the memory-compression path for
@@ -322,13 +324,10 @@ object EmbeddingsQ {
       .localCheckpoint()
     val qs = quant.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
+    graft.functions.NativeFunctions.ensureRegistered(spark)
     val scored = quant.join(broadcast(qs), col("vec_id") =!= col("query_id"))
-      .withColumn("sc", sq8ScoreUdf(col("q_qv"), col("qv")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        when(col("sc._2") === 0L || col("sc._3") === 0L, lit(0.0))
-          .otherwise(col("sc._1").cast("double") /
-            (sqrt(col("sc._2").cast("double")) * sqrt(col("sc._3").cast("double"))))
-          .as("cos_sq8"))
+        call_function("sq8_cos", col("q_qv"), col("qv")).as("cos_sq8"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sq8"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -375,21 +374,28 @@ object EmbeddingsQ {
       }
     }
     // asymmetric-style scoring against the reconstruction, summed in
-    // dimension order (left-to-right, like float_vec_dot and list_sum)
-    val distUdf = udf { (q: Seq[Float], code: Seq[Int]) =>
-      var sum = 0.0; var j = 0
-      while (j < m * sd) {
-        val diff = q(j).toDouble - cents(code(j / sd))(j).toDouble
-        sum += diff * diff; j += 1
-      }
-      sum
-    }
+    // dimension order (left-to-right, like float_vec_dot and list_sum) —
+    // via the codegen'd `pq_dist` native expression (graft.functions.PqDist,
+    // round 6: the former Scala UDF's per-call collection-argument
+    // conversion dominated the scoring join; scores are op-for-op
+    // identical). The codebook travels as a constant-folded nested-array
+    // literal.
+    graft.functions.NativeFunctions.ensureRegistered(spark)
+    val cbCol = array(cents.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(v => lit(v)): _*)): _*)
+    // codes materialized once: without this the optimizer relocates the
+    // encode UDF's evaluation above the broadcast join, re-encoding the
+    // vector once PER CANDIDATE PAIR instead of once per corpus row
+    // (measured 1.7s -> 0.2s on the scoring stage; guide §4.4's
+    // UDF-duplication trap). (vec_id, m codes) per row — the actual PQ
+    // index payload, 64x smaller than the vectors.
     val corpus = emb.select(col("vec_id"), encodeUdf(col("embedding")).as("code"))
+      .localCheckpoint()
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        distUdf(col("q_emb"), col("code")).as("approx_dist"))
+        call_function("pq_dist", col("q_emb"), col("code"), cbCol).as("approx_dist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

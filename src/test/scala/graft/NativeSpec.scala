@@ -58,6 +58,59 @@ class NativeSpec extends AnyFunSuite {
     assert(viaCall == viaSplit)
   }
 
+  test("pq_dist is bit-identical to the scalar reference loop") {
+    import spark.implicits._
+    NativeFunctions.ensureRegistered(spark)
+    val k = 4; val sd = 4; val m = 2 // 8-dim vectors, 2 subspaces of 4
+    def f(i: Int, j: Int): Float = ((i * 31 + j * 7) % 17 - 8) / 9.0f
+    val cents: Array[Array[Float]] = Array.tabulate(k)(c => Array.tabulate(m * sd)(f(c, _)))
+    val rows = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(m * sd)(f(i + 3, _)), Array(i % k, (i + 1) % k))
+    }
+    // reference = the pre-round-6 Scala UDF loop, verbatim
+    def ref(q: Array[Float], code: Array[Int]): Double = {
+      var sum = 0.0; var j = 0
+      while (j < m * sd) {
+        val diff = q(j).toDouble - cents(code(j / sd))(j).toDouble
+        sum += diff * diff; j += 1
+      }
+      sum
+    }
+    val cbCol = array(cents.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(v => lit(v)): _*)): _*)
+    val got = rows.toDF("id", "q", "code")
+      .select(col("id"), call_function("pq_dist", col("q"), col("code"), cbCol).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, q, code) =>
+      // exact double equality — the expression must replay the UDF op-for-op
+      assert(got(id) == ref(q, code), s"pq_dist differs at id=$id")
+    }
+  }
+
+  test("sq8_cos is bit-identical to the UDF-struct reference") {
+    import spark.implicits._
+    NativeFunctions.ensureRegistered(spark)
+    val rows = (0 until 30).map { i =>
+      (i.toLong,
+        Array.tabulate(16)(j => ((i * 13 + j * 5) % 256).toLong),
+        Array.tabulate(16)(j => ((i * 7 + j * 11) % 256).toLong))
+    } :+ ((99L, Array.fill(16)(0L), Array.tabulate(16)(_.toLong))) // zero-norm guard
+    // reference = the pre-round-6 UDF + when/otherwise assembly, verbatim
+    def ref(a: Array[Long], b: Array[Long]): Double = {
+      var dt = 0L; var na = 0L; var nb = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dt += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0L || nb == 0L) 0.0
+      else dt.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"), call_function("sq8_cos", col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id) == ref(a, b), s"sq8_cos differs at id=$id")
+    }
+  }
+
   test("expression stays inside whole-stage codegen") {
     NativeFunctions.ensureRegistered(spark)
     import spark.implicits._
