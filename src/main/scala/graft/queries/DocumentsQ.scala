@@ -172,8 +172,13 @@ object DocumentsQ {
     */
   private def minhashPairs(sigsIn: DataFrame): DataFrame = {
     val sigs = sigsIn.localCheckpoint()
+    // band keys materialized too: the banding UDF (a collection-argument
+    // Scala UDF — ~40µs/call conversion tax in Spark 4) is otherwise
+    // re-evaluated by the hot-bucket count AND both sides of the candidate
+    // self-join; 3 slim long columns per row.
     val bands = capBuckets(sigs.select(col("doc_id"),
-      posexplode(bandsUdf(col("sig"))).as(Seq("band_idx", "band_key"))),
+      posexplode(bandsUdf(col("sig"))).as(Seq("band_idx", "band_key")))
+        .localCheckpoint(),
       Seq("band_idx", "band_key"))
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -290,10 +295,13 @@ object DocumentsQ {
       .withColumn("sim", simhashUdf(col("text")))
       .select(col("doc_id"), col("sim"))
       .localCheckpoint()
+    // chunk frame materialized (see minhashPairs' band note): referenced by
+    // the hot-bucket count and both self-join sides
     val chunks = capBuckets(sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk_idx", "chunk_val"))),
+        .as(Seq("chunk_idx", "chunk_val")))
+        .localCheckpoint(),
       Seq("chunk_idx", "chunk_val"))
     val a = chunks.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
       col("chunk_idx"), col("chunk_val"))
