@@ -147,7 +147,14 @@ object ReviewSink {
     }
 
     val tmp = root.resolve(s".tmp-queue-$runId")
-    q.drop("idnum").write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // The queue is a small filtered side table of the routing output;
+    // writing it at the routing job's full partition count produces dozens
+    // of near-empty files per commit (guide §6 small-files). Coalesce to a
+    // fraction of the parallelism — scales with the cluster, and coalesce
+    // is a narrow dependency (no extra shuffle).
+    val outParts = math.max(1, spark.sparkContext.defaultParallelism / 8)
+    q.drop("idnum").coalesce(outParts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     Files.move(tmp, queueDir, StandardCopyOption.ATOMIC_MOVE)
     // counts read back from ONLY the committed files (O(queue), bounded)
     val counts = spark.read.parquet(queueDir.toString)
