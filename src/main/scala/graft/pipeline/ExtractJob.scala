@@ -69,16 +69,21 @@ object ExtractJob {
       groupSize: Int = 8,
       heavyWeight: Long = 5000000L,
       saltMod: Int = 64,
-      // Heavy-branch relocation fan-out: heavy docs are spread over
-      // (shuffle partitions x heavyFanout) PINNED partitions
-      // (REPARTITION_BY_NUM, not AQE-coalescible) so a kernel+write task
-      // carries ~1 mega-doc. The relocation shuffle is kept unconditionally:
-      // a scan-side-only heavy branch was A/B'd in round 6 (same corpus,
-      // same window) and lost ~30% at c16 — without relocation each heavy
-      // scan split still funnels its ~20+ megas through one encode task.
-      // Sized so hash collisions stay rare at the expected mega density
-      // without paying thousands of empty task launches per group.
-      heavyFanout: Int = 8,
+      // Heavy-branch relocation: heavy docs are spread over this many PINNED
+      // partitions (REPARTITION_BY_NUM, not AQE-coalescible) so a
+      // kernel+write task carries ~1-2 mega-docs. The relocation shuffle is
+      // kept unconditionally: a scan-side-only heavy branch was A/B'd in
+      // round 6 (same corpus, same window) and lost ~30% at c16 — without
+      // relocation each heavy scan split funnels its ~20+ megas through one
+      // encode task. The count is sized from the DATA (expected heavies per
+      // group / target megas-per-task; at 10^12 docs set it from table
+      // stats), deliberately NOT from the core count: a cores-proportional
+      // count (an earlier round-6 shape) launches more tasks on bigger
+      // clusters for the same 390 megas, pure scheduling overhead on the
+      // wider leg. 256 ≈ 1.5 megas/task at the bench's mega density; too
+      // few partitions re-creates the funnel via hash-collision stragglers
+      // (128 parts measured 35% slower at c16 than 512).
+      heavyParts: Int = 256,
       // Salted light-branch shuffle, OFF by default (round-6 measurement):
       // with heavy docs isolated onto their own partitions, the remaining
       // light work is byte-proportional and parquet scan splits are already
@@ -249,7 +254,7 @@ object ExtractJob {
               pmod(xxhash64(col("doc_id")), lit(cfg.saltMod)))
           else lightRaw
         val heavyDs = inGroup.filter(col("weight") >= heavy)
-          .repartition(spNum * cfg.heavyFanout, col("doc_id"))
+          .repartition(cfg.heavyParts, col("doc_id"))
         // heavy partitions FIRST: union concatenates partition lists and
         // Spark schedules tasks in partition order — longest-processing-
         // time-first lets the mega-doc tasks run while light tasks pack
